@@ -1,0 +1,203 @@
+"""Configuration tree for the TPU SfM pipeline.
+
+The reference scatters configuration over constructor scalars and a
+``RansacConfig`` that auto-raises its iteration count and seeds the *global*
+``random`` module (reference ``utils.py:129-174``). Here the whole pipeline is
+configured by one JSON-serialisable dataclass tree; randomness is threaded
+explicitly through ``jax.random`` keys; iteration counts are static Python
+ints so every kernel compiles to a fixed trace.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import math
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class RansacConfig:
+    """Batched-hypothesis RANSAC configuration.
+
+    Mirrors the *semantics* of the reference ``RansacConfig``
+    (``utils.py:129-174``): if the user-supplied ``iteration`` is lower than
+    the statistically required count
+    ``log(1 - subset_confidence) / log(1 - sample_confidence ** sample_num)``
+    it is raised to that count. Unlike the reference (a sequential Python
+    loop over hypotheses), the TPU implementation evaluates *all* hypotheses
+    as one batch: ``iteration`` becomes the hypothesis-batch size.
+    """
+
+    inlier_threshold: float = 1e-3
+    subset_confidence: float = 0.99
+    sample_confidence: float = 0.75
+    sample_num: int = 8
+    iteration: int = 300
+    seed: int = 0
+
+    def required_iterations(self) -> int:
+        denom = math.log(1.0 - self.sample_confidence**self.sample_num)
+        if denom >= 0.0:
+            return self.iteration
+        return int(math.ceil(math.log(1.0 - self.subset_confidence) / denom))
+
+    @property
+    def num_hypotheses(self) -> int:
+        """Static hypothesis-batch size (>= statistically required count)."""
+        return max(self.iteration, self.required_iterations())
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    """Levenberg-Marquardt settings for the nonlinear refiners.
+
+    The reference defines-but-never-uses an ``LMConfig`` (``utils.py:109-125``)
+    and instead hardcodes fixed-damping, fixed-iteration loops. We make the
+    config real: ``damping`` is the (fixed) lambda added to the normal
+    equations, ``iterations`` the static unrolled/scanned step count.
+    ``adaptive`` switches on classic lambda up/down adaptation (an intentional
+    improvement over the reference; off by default for behavioural parity).
+    """
+
+    damping: float = 5.0
+    iterations: int = 100
+    adaptive: bool = False
+    damping_up: float = 2.0
+    damping_down: float = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    """TPU-native feature detection/description settings.
+
+    Replaces the reference's OpenCV SIFT/ORB frontend
+    (``view_processor.py:103-137``) with an on-device DoG detector +
+    gradient-histogram descriptor. ``max_keypoints`` fixes the per-view key
+    capacity so all downstream shapes are static.
+    """
+
+    detector: str = "dog"  # "dog" | "harris" | "oracle_sift" (tests only)
+    max_keypoints: int = 2048
+    num_octaves: int = 4
+    scales_per_octave: int = 3
+    sigma0: float = 1.6
+    contrast_threshold: float = 0.015
+    edge_threshold: float = 10.0
+    descriptor_dim: int = 128
+    patch_size: int = 16
+
+
+@dataclasses.dataclass(frozen=True)
+class MatcherConfig:
+    """Descriptor matching (reference ``key_tracker.py:82-85,254-344``).
+
+    Brute-force matching becomes one (N, D) x (D, M) matmul on the MXU with a
+    fused top-2 for the Lowe ratio test; ``cross_check`` keeps only mutual
+    nearest neighbours.
+    """
+
+    ratio: float = 0.7
+    cross_check: bool = False
+    use_fundamental_gate: bool = False
+    gate_ransac: RansacConfig = dataclasses.field(
+        default_factory=lambda: RansacConfig(inlier_threshold=1e-2, iteration=200)
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class BAConfig:
+    """Bundle adjustment (reference ``ba_processor.py:274-439``).
+
+    Schur-complement LM over [C(3), q(4)] camera blocks and XYZ point blocks.
+    The reference materialises a dense ``block_diag`` of all point-block
+    inverses (O((3M)^2) memory); here D stays a (M, 3, 3) batch, the reduced
+    camera system is built by segment-sums over observations, and the whole
+    step shards over the observation/point axis on a device mesh.
+    """
+
+    iterations: int = 3
+    damping: float = 5.0
+    huber_delta: float = 0.0  # 0 disables the robust loss (reference parity)
+    fix_first_camera_gauge: bool = False  # reference leaves gauge free
+    pcg_fallback_cameras: int = 256  # above this many cameras, solve S by PCG
+    pcg_iterations: int = 64
+
+
+@dataclasses.dataclass(frozen=True)
+class CapacityConfig:
+    """Static capacities — the TPU substitute for the reference's growing
+    hstack map (``triangulation_processor.py:21-28``) and ragged match lists.
+    """
+
+    max_views: int = 16
+    max_keypoints: int = 2048
+    max_points: int = 16384
+    max_observations: int = 65536
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level config: one object wires the full incremental pipeline."""
+
+    frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
+    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
+    # RANSAC for the fundamental matrix (reference main: 1e-3 / 300 it).
+    fundamental_ransac: RansacConfig = dataclasses.field(
+        default_factory=lambda: RansacConfig(inlier_threshold=1e-3, iteration=300)
+    )
+    # RANSAC for PnP, pixel reprojection threshold (reference main: 8 px).
+    pnp_ransac: RansacConfig = dataclasses.field(
+        default_factory=lambda: RansacConfig(
+            inlier_threshold=8.0, sample_num=6, iteration=300
+        )
+    )
+    pnp_lm: LMConfig = dataclasses.field(
+        default_factory=lambda: LMConfig(damping=5.0, iterations=300)
+    )
+    triangulation_lm: LMConfig = dataclasses.field(
+        default_factory=lambda: LMConfig(damping=5.0, iterations=100)
+    )
+    ba: BAConfig = dataclasses.field(default_factory=BAConfig)
+    capacity: CapacityConfig = dataclasses.field(default_factory=CapacityConfig)
+    window_size: int = 10  # reference `filter_size` (ba_processor.py:24)
+
+    # -- (de)serialisation -------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "PipelineConfig":
+        return _from_dict(cls, json.loads(text))
+
+
+def _from_dict(klass: Any, data: Any) -> Any:
+    if not dataclasses.is_dataclass(klass):
+        return data
+    fields = {f.name: f.type for f in dataclasses.fields(klass)}
+    kwargs = {}
+    for name, value in data.items():
+        if name not in fields:
+            continue
+        ftype = {f.name: f for f in dataclasses.fields(klass)}[name].type
+        target = _resolve_dataclass(ftype)
+        kwargs[name] = _from_dict(target, value) if target else value
+    return klass(**kwargs)
+
+
+def _resolve_dataclass(ftype: Any) -> Any:
+    """Map a (possibly string) field annotation to a dataclass, else None."""
+    known = {
+        "RansacConfig": RansacConfig,
+        "LMConfig": LMConfig,
+        "FrontendConfig": FrontendConfig,
+        "MatcherConfig": MatcherConfig,
+        "BAConfig": BAConfig,
+        "CapacityConfig": CapacityConfig,
+        "PipelineConfig": PipelineConfig,
+    }
+    if isinstance(ftype, str):
+        return known.get(ftype)
+    if dataclasses.is_dataclass(ftype):
+        return ftype
+    return None
