@@ -100,8 +100,10 @@ class MatcherConfig:
     ratio: float = 0.7
     cross_check: bool = False
     use_fundamental_gate: bool = False
+    # Thresholds are pixel Sampson distances (see ops/epipolar.py) — the
+    # reference's 1e-2 / 1e-3 values were normalised algebraic errors.
     gate_ransac: RansacConfig = dataclasses.field(
-        default_factory=lambda: RansacConfig(inlier_threshold=1e-2, iteration=200)
+        default_factory=lambda: RansacConfig(inlier_threshold=3.0, iteration=200)
     )
 
 
@@ -142,9 +144,11 @@ class PipelineConfig:
 
     frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
     matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
-    # RANSAC for the fundamental matrix (reference main: 1e-3 / 300 it).
+    # RANSAC for the fundamental matrix (reference main: 300 hypotheses; the
+    # threshold here is a pixel Sampson distance, not the reference's
+    # normalised algebraic 1e-3).
     fundamental_ransac: RansacConfig = dataclasses.field(
-        default_factory=lambda: RansacConfig(inlier_threshold=1e-3, iteration=300)
+        default_factory=lambda: RansacConfig(inlier_threshold=2.0, iteration=300)
     )
     # RANSAC for PnP, pixel reprojection threshold (reference main: 8 px).
     pnp_ransac: RansacConfig = dataclasses.field(
