@@ -151,9 +151,13 @@ class PipelineConfig:
         default_factory=lambda: RansacConfig(inlier_threshold=2.0, iteration=300)
     )
     # RANSAC for PnP, pixel reprojection threshold (reference main: 8 px).
+    # 1024 hypotheses (vs the reference's 300 sequential iterations): on TPU
+    # the whole batch is one (H, 12, 12) SVD + one (H, N) scoring matmul, so
+    # extra hypotheses are nearly free and buy robustness at low inlier
+    # ratios where minimal 6-point DLT fits are noisy.
     pnp_ransac: RansacConfig = dataclasses.field(
         default_factory=lambda: RansacConfig(
-            inlier_threshold=8.0, sample_num=6, iteration=300
+            inlier_threshold=8.0, sample_num=6, iteration=1024
         )
     )
     pnp_lm: LMConfig = dataclasses.field(
