@@ -1,0 +1,360 @@
+"""On-device feature detection + description ("SIFT-lite" on TPU).
+
+Replaces the reference's OpenCV frontend (``view_processor.py:103-202``:
+``cv.SIFT_create`` / ORB ``detectAndCompute``) with a fully batched JAX
+implementation that runs on the TPU:
+
+* Gaussian scale-space pyramid — separable convolutions (XLA convs),
+  ``num_octaves`` octaves x (``scales_per_octave`` + 3) levels.
+* Difference-of-Gaussians extrema: 3x3x3 neighbourhood max/min via
+  ``reduce_window``, contrast threshold, and the 2x2 Hessian edge-response
+  test (Lowe's r = 10 criterion).
+* Fixed-capacity selection: per octave, ``top_k`` candidates by |DoG|
+  response; octaves merged by one final global ``top_k`` — the static-shape
+  substitute for OpenCV's dynamic keypoint vectors.
+* 2D quadratic subpixel refinement from the DoG spatial derivatives.
+* Dominant gradient orientation from a 36-bin Gaussian-weighted histogram
+  (one-hot matmul — no scatter).
+* 128-d descriptor: 4x4 spatial cells x 8 orientation bins over a rotated,
+  scale-adaptive 16x16 sample grid with bilinear gradient sampling and soft
+  orientation binning; L2-normalise -> clip 0.2 -> renormalise (SIFT's
+  illumination normalisation).
+
+The output is NOT bitwise cv2-SIFT; it is a same-shape (xy, scale, angle,
+response, 128-d descriptor) frontend whose matches feed the identical
+geometry stack. Tests measure repeatability/match quality against the cv2
+oracle rather than equality.
+
+Every intermediate keeps static shapes; keypoint buffers are
+(max_keypoints,) with validity masks.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from structure_from_motion_tpu.config import FrontendConfig
+
+
+class Keypoints(NamedTuple):
+    xy: Array  # (K, 2) float32, (x, y) in full-resolution pixels
+    scale: Array  # (K,) float32 sigma in full-resolution pixels
+    angle: Array  # (K,) float32 orientation, radians
+    response: Array  # (K,) float32 |DoG|
+    mask: Array  # (K,) bool
+
+
+def _gaussian_kernel1d(sigma: float) -> jnp.ndarray:
+    radius = max(1, int(math.ceil(3.0 * sigma)))
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def _blur(img: Array, sigma: float) -> Array:
+    """Separable Gaussian blur of a (H, W) image (two 1-D convs)."""
+    k = _gaussian_kernel1d(sigma)
+    r = (k.shape[0] - 1) // 2
+    x = img[None, None, :, :]
+    kh = k.reshape(1, 1, 1, -1)
+    kv = k.reshape(1, 1, -1, 1)
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(0, 0), (r, r)])
+    x = jax.lax.conv_general_dilated(x, kv, (1, 1), [(r, r), (0, 0)])
+    return x[0, 0]
+
+
+def _downsample2(img: Array) -> Array:
+    return img[::2, ::2]
+
+
+def _local_extrema(dog: Array) -> Array:
+    """(S+2, H, W) DoG stack -> bool map of 3x3x3 extrema for layers 1..S."""
+    neigh_max = jax.lax.reduce_window(
+        dog, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+    neigh_min = jax.lax.reduce_window(
+        dog, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "SAME"
+    )
+    # a strict extremum equals the window max (or min); ties suppressed by
+    # requiring it also exceed the second value is skipped — DoG ties are
+    # measure-zero on real images
+    is_max = dog >= neigh_max
+    is_min = dog <= neigh_min
+    return jnp.logical_or(is_max, is_min)[1:-1]
+
+
+def _edge_response_ok(layer: Array, edge_threshold: float) -> Array:
+    """Lowe's 2x2 Hessian test: tr^2/det < (r+1)^2/r (H, W) -> bool."""
+    dxx = (
+        jnp.roll(layer, -1, axis=1) - 2.0 * layer + jnp.roll(layer, 1, axis=1)
+    )
+    dyy = (
+        jnp.roll(layer, -1, axis=0) - 2.0 * layer + jnp.roll(layer, 1, axis=0)
+    )
+    dxy = 0.25 * (
+        jnp.roll(jnp.roll(layer, -1, 0), -1, 1)
+        - jnp.roll(jnp.roll(layer, -1, 0), 1, 1)
+        - jnp.roll(jnp.roll(layer, 1, 0), -1, 1)
+        + jnp.roll(jnp.roll(layer, 1, 0), 1, 1)
+    )
+    tr = dxx + dyy
+    det = dxx * dyy - dxy * dxy
+    r = edge_threshold
+    return jnp.logical_and(det > 0, tr * tr * r < (r + 1.0) ** 2 * det)
+
+
+def _subpixel_offset(layer: Array) -> tuple[Array, Array]:
+    """Per-pixel 2D quadratic offsets (dx, dy) from the DoG derivatives."""
+    dx = 0.5 * (jnp.roll(layer, -1, 1) - jnp.roll(layer, 1, 1))
+    dy = 0.5 * (jnp.roll(layer, -1, 0) - jnp.roll(layer, 1, 0))
+    dxx = jnp.roll(layer, -1, 1) - 2 * layer + jnp.roll(layer, 1, 1)
+    dyy = jnp.roll(layer, -1, 0) - 2 * layer + jnp.roll(layer, 1, 0)
+    off_x = jnp.where(jnp.abs(dxx) > 1e-8, -dx / dxx, 0.0)
+    off_y = jnp.where(jnp.abs(dyy) > 1e-8, -dy / dyy, 0.0)
+    return jnp.clip(off_x, -0.5, 0.5), jnp.clip(off_y, -0.5, 0.5)
+
+
+def _bilinear_sample(img: Array, x: Array, y: Array) -> Array:
+    """Bilinear sample of (H, W) image at float coords; zero outside."""
+    h, w = img.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def tap(yy, xx):
+        inb = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        v = img[jnp.clip(yy, 0, h - 1), jnp.clip(xx, 0, w - 1)]
+        return jnp.where(inb, v, 0.0)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    return (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    )
+
+
+def _octave_candidates(gauss: Array, cfg: FrontendConfig, per_octave_k: int):
+    """One octave: (S+3, H, W) gaussian stack -> fixed-size candidate set.
+
+    Returns (x, y, scale_idx, response, valid) each (per_octave_k,), with
+    subpixel-refined octave-pixel coordinates.
+    """
+    dog = gauss[1:] - gauss[:-1]  # (S+2, H, W)
+    s_layers = dog.shape[0] - 2
+    h, w = dog.shape[1], dog.shape[2]
+
+    extrema = _local_extrema(dog)  # (S, H, W)
+    contrast_ok = jnp.abs(dog[1:-1]) > cfg.contrast_threshold
+    edge_ok = jnp.stack(
+        [_edge_response_ok(dog[1 + s], cfg.edge_threshold) for s in range(s_layers)]
+    )
+    # keep away from borders (descriptor support)
+    border = 8
+    bm = jnp.zeros((h, w), dtype=bool).at[border:-border, border:-border].set(True)
+    valid = extrema & contrast_ok & edge_ok & bm[None]
+
+    resp = jnp.where(valid, jnp.abs(dog[1:-1]), 0.0).reshape(-1)
+    k = min(per_octave_k, resp.shape[0])
+    top_resp, top_idx = jax.lax.top_k(resp, k)
+    s_idx = top_idx // (h * w)
+    rem = top_idx % (h * w)
+    yy = rem // w
+    xx = rem % w
+
+    # subpixel refinement on the layer each candidate came from
+    offs = [_subpixel_offset(dog[1 + s]) for s in range(s_layers)]
+    off_x = jnp.stack([o[0] for o in offs])  # (S, H, W)
+    off_y = jnp.stack([o[1] for o in offs])
+    ox = off_x[s_idx, yy, xx]
+    oy = off_y[s_idx, yy, xx]
+
+    x = xx.astype(jnp.float32) + ox
+    y = yy.astype(jnp.float32) + oy
+    ok = top_resp > 0.0
+    if k < per_octave_k:
+        pad = per_octave_k - k
+        x = jnp.pad(x, (0, pad))
+        y = jnp.pad(y, (0, pad))
+        s_idx = jnp.pad(s_idx, (0, pad))
+        top_resp = jnp.pad(top_resp, (0, pad))
+        ok = jnp.pad(ok, (0, pad))
+    return x, y, s_idx, top_resp, ok
+
+
+def _orientation_and_descriptor(
+    gauss_oct: Array,
+    x: Array,
+    y: Array,
+    s_idx: Array,
+    valid: Array,
+    sigmas: tuple,
+):
+    """Per-keypoint orientation + 128-d descriptor for one octave.
+
+    ``gauss_oct``: (S+3, H, W); keypoints in octave pixel coords. All
+    keypoints processed as one batch of gathered sample grids.
+    """
+    n = x.shape[0]
+    # gradient maps per level
+    gx = 0.5 * (jnp.roll(gauss_oct, -1, 2) - jnp.roll(gauss_oct, 1, 2))
+    gy = 0.5 * (jnp.roll(gauss_oct, -1, 1) - jnp.roll(gauss_oct, 1, 1))
+
+    sig = jnp.asarray(sigmas, dtype=jnp.float32)[s_idx]  # (n,) octave sigma
+
+    # ---- orientation: 16x16 grid, radius 4.5 sigma -----------------------
+    G = 16
+    lin = (jnp.arange(G, dtype=jnp.float32) - (G - 1) / 2.0) / ((G - 1) / 2.0)
+    gyy, gxx = jnp.meshgrid(lin, lin, indexing="ij")  # [-1, 1]
+    rad = 4.5 * sig  # (n,)
+    sx = x[:, None] + rad[:, None] * gxx.reshape(-1)[None, :]  # (n, G*G)
+    sy = y[:, None] + rad[:, None] * gyy.reshape(-1)[None, :]
+
+    def sample_level(maps, sxx, syy, sidx):
+        # gather from the right pyramid level per keypoint
+        out = jnp.zeros_like(sxx)
+        for s in range(maps.shape[0]):
+            v = _bilinear_sample(maps[s], sxx, syy)
+            out = jnp.where((sidx == s)[:, None], v, out)
+        return out
+
+    gxs = sample_level(gx, sx, sy, s_idx)
+    gys = sample_level(gy, sx, sy, s_idx)
+    mag = jnp.sqrt(gxs**2 + gys**2)
+    ang = jnp.arctan2(gys, gxs)  # [-pi, pi]
+    wgt = jnp.exp(-(gxx.reshape(-1)[None, :] ** 2 + gyy.reshape(-1)[None, :] ** 2) / (2 * 0.5**2))
+    hist_bins = 36
+    b = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * hist_bins).astype(jnp.int32) % hist_bins
+    onehot = jax.nn.one_hot(b, hist_bins, dtype=jnp.float32)  # (n, G*G, 36)
+    hist = jnp.einsum("nk,nkb->nb", mag * wgt, onehot)
+    # smooth the circular histogram
+    hist = (
+        jnp.roll(hist, 1, axis=1) + hist + jnp.roll(hist, -1, axis=1)
+    ) / 3.0
+    peak = jnp.argmax(hist, axis=1)
+    angle = (peak.astype(jnp.float32) + 0.5) / hist_bins * 2 * jnp.pi - jnp.pi
+
+    # ---- descriptor: rotated 16x16 grid, 4x4 cells x 8 orientations ------
+    D = 16
+    step = 0.75  # sample spacing in units of sigma
+    dlin = (jnp.arange(D, dtype=jnp.float32) - (D - 1) / 2.0) * step
+    dyy_g, dxx_g = jnp.meshgrid(dlin, dlin, indexing="ij")
+    gridx = dxx_g.reshape(-1)[None, :] * sig[:, None]  # (n, 256)
+    gridy = dyy_g.reshape(-1)[None, :] * sig[:, None]
+    ca, sa = jnp.cos(angle)[:, None], jnp.sin(angle)[:, None]
+    rx = x[:, None] + ca * gridx - sa * gridy
+    ry = y[:, None] + sa * gridx + ca * gridy
+    gxd = sample_level(gx, rx, ry, s_idx)
+    gyd = sample_level(gy, rx, ry, s_idx)
+    magd = jnp.sqrt(gxd**2 + gyd**2)
+    angd = jnp.arctan2(gyd, gxd) - angle[:, None]
+
+    # spatial cell of each sample (static: depends only on the grid)
+    cell = (jnp.arange(D) // (D // 4)).astype(jnp.int32)
+    cell_y, cell_x = jnp.meshgrid(cell, cell, indexing="ij")
+    cell_id = (cell_y * 4 + cell_x).reshape(-1)  # (256,)
+    spatial = jax.nn.one_hot(cell_id, 16, dtype=jnp.float32)  # (256, 16)
+
+    # soft orientation binning into 8 bins
+    ob = (angd + 2 * jnp.pi) % (2 * jnp.pi) / (2 * jnp.pi) * 8.0
+    b0 = jnp.floor(ob).astype(jnp.int32) % 8
+    frac = ob - jnp.floor(ob)
+    w_desc = magd * jnp.exp(
+        -(dxx_g.reshape(-1)[None, :] ** 2 + dyy_g.reshape(-1)[None, :] ** 2)
+        / (2 * (0.5 * D * step) ** 2)
+    )
+    oh0 = jax.nn.one_hot(b0, 8, dtype=jnp.float32) * (1 - frac)[..., None]
+    oh1 = jax.nn.one_hot((b0 + 1) % 8, 8, dtype=jnp.float32) * frac[..., None]
+    orient = oh0 + oh1  # (n, 256, 8)
+    # (n, 256, 8) x (256, 16) -> (n, 16, 8)
+    desc = jnp.einsum("nkb,kc,nk->ncb", orient, spatial, w_desc)
+    desc = desc.reshape(n, 128)
+    # SIFT illumination normalisation
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-9)
+    desc = jnp.minimum(desc, 0.2)
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-9)
+    desc = desc * 512.0  # cv2-like integer scale, keeps matmuls well ranged
+    desc = jnp.where(valid[:, None], desc, 0.0)
+    return angle, desc
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def detect_and_describe(img: Array, cfg: FrontendConfig):
+    """(H, W) float image -> (Keypoints, (max_keypoints, 128) descriptors).
+
+    The whole frontend is one jitted program: pyramid, DoG extrema,
+    per-octave top-k, orientation, descriptors, global top-k merge.
+    """
+    img = img.astype(jnp.float32)
+    img = img / jnp.maximum(jnp.max(img), 1e-6)
+
+    S = cfg.scales_per_octave
+    n_levels = S + 3
+    k_per_level = 2.0 ** (1.0 / S)
+    sigmas = [cfg.sigma0 * (k_per_level**i) for i in range(n_levels)]
+    # incremental blur amounts between consecutive levels
+    increments = [
+        math.sqrt(max(sigmas[i + 1] ** 2 - sigmas[i] ** 2, 1e-6))
+        for i in range(n_levels - 1)
+    ]
+
+    per_octave_k = cfg.max_keypoints
+    all_x, all_y, all_scale, all_resp, all_ok, all_angle, all_desc = (
+        [], [], [], [], [], [], [],
+    )
+
+    base = _blur(img, cfg.sigma0)
+    for o in range(cfg.num_octaves):
+        levels = [base]
+        for i in range(n_levels - 1):
+            levels.append(_blur(levels[-1], increments[i]))
+        gauss = jnp.stack(levels)  # (S+3, H_o, W_o)
+
+        x, y, s_idx, resp, ok = _octave_candidates(gauss, cfg, per_octave_k)
+        angle, desc = _orientation_and_descriptor(
+            gauss, x, y, s_idx, ok, tuple(sigmas)
+        )
+        scale_fr = 2.0**o  # octave pixel -> full-res pixel
+        all_x.append((x + 0.0) * scale_fr)
+        all_y.append((y + 0.0) * scale_fr)
+        all_scale.append(jnp.asarray(sigmas, jnp.float32)[s_idx] * scale_fr)
+        all_resp.append(resp)
+        all_ok.append(ok)
+        all_angle.append(angle)
+        all_desc.append(desc)
+
+        # next octave: downsample the level with sigma = 2 sigma0
+        base = _downsample2(levels[S])
+
+    x = jnp.concatenate(all_x)
+    y = jnp.concatenate(all_y)
+    scale = jnp.concatenate(all_scale)
+    resp = jnp.concatenate(all_resp)
+    ok = jnp.concatenate(all_ok)
+    angle = jnp.concatenate(all_angle)
+    desc = jnp.concatenate(all_desc, axis=0)
+
+    # global top-k merge across octaves
+    score = jnp.where(ok, resp, -1.0)
+    top_score, top_idx = jax.lax.top_k(score, cfg.max_keypoints)
+    kps = Keypoints(
+        xy=jnp.stack([x[top_idx], y[top_idx]], axis=1),
+        scale=scale[top_idx],
+        angle=angle[top_idx],
+        response=resp[top_idx],
+        mask=top_score > 0.0,
+    )
+    return kps, desc[top_idx]

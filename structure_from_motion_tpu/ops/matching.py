@@ -1,0 +1,212 @@
+"""Descriptor matching on the MXU.
+
+Replaces the reference's OpenCV ``BFMatcher`` stage
+(``key_tracker.py:82-85, 246-344``): L2 brute-force matching with Lowe's
+ratio test (0.7), optional cross-check (mutual nearest neighbour), and
+train-index deduplication keeping the minimum distance.
+
+TPU design: the (Nr, Nq) squared-distance matrix is one matmul
+(``|a|^2 + |b|^2 - 2 a.b``) that XLA tiles onto the MXU; top-2 per row is a
+single ``lax.top_k``; dedup is a scatter-min over the target axis. A Pallas
+kernel (:func:`pallas_match_top2`) fuses the distance computation with the
+running top-2 so the full distance matrix never round-trips to HBM —
+the fused path streams (128, D) x (D, Nq) tiles through VMEM.
+
+All shapes are static; invalid rows/columns are masked with +inf distances.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from structure_from_motion_tpu.config import MatcherConfig
+
+
+class MatchResult(NamedTuple):
+    target: Array  # (Nr,) int32 index into que keys, -1 when invalid
+    valid: Array  # (Nr,) bool
+    distance: Array  # (Nr,) float L2 distance of the best match
+
+
+_INF = 3.0e38  # plain float: jnp scalars would be captured consts in pallas
+
+
+def squared_distances(
+    desc_ref: Array, desc_que: Array, mask_ref: Array, mask_que: Array
+) -> Array:
+    """Masked (Nr, Nq) squared L2 distances; one MXU matmul.
+
+    Accumulates the cross term in float32 (``preferred_element_type``) so
+    bfloat16 descriptors still score accurately.
+    """
+    cross = jnp.matmul(
+        desc_ref, desc_que.T, preferred_element_type=jnp.float32
+    )
+    sq_r = jnp.sum(desc_ref.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+    sq_q = jnp.sum(desc_que.astype(jnp.float32) ** 2, axis=1, keepdims=True)
+    d2 = sq_r + sq_q.T - 2.0 * cross
+    d2 = jnp.maximum(d2, 0.0)
+    d2 = jnp.where(mask_que[None, :], d2, _INF)
+    d2 = jnp.where(mask_ref[:, None], d2, _INF)
+    return d2
+
+
+def match_descriptors(
+    desc_ref: Array,
+    desc_que: Array,
+    mask_ref: Array,
+    mask_que: Array,
+    config: MatcherConfig,
+) -> MatchResult:
+    """Brute-force matching with ratio test / cross-check / dedup.
+
+    For every valid ref key: nearest + second-nearest que key; keep when
+    ``d1 < ratio * d2`` (Lowe, on unsquared L2 like the reference's
+    ``key_tracker.py:337-344``); with ``cross_check`` also require the ref
+    key to be its match's nearest neighbour. Finally each que key may be
+    claimed by at most one ref key — the one at minimum distance (the
+    reference's trainIdx dedup, ``key_tracker.py:276-291``).
+    """
+    d2 = squared_distances(desc_ref, desc_que, mask_ref, mask_que)
+    neg_top2, idx_top2 = jax.lax.top_k(-d2, 2)
+    d1 = jnp.sqrt(jnp.maximum(-neg_top2[:, 0], 0.0))
+    d2nd = jnp.sqrt(jnp.maximum(-neg_top2[:, 1], 0.0))
+    j = idx_top2[:, 0]
+
+    valid = jnp.logical_and(mask_ref, d1 < config.ratio * d2nd)
+
+    if config.cross_check:
+        # nearest ref for every que column
+        back = jnp.argmin(d2, axis=0)  # (Nq,)
+        mutual = back[j] == jnp.arange(d2.shape[0])
+        valid = jnp.logical_and(valid, mutual)
+
+    # dedup: each que index keeps only its minimum-distance claimant
+    nq = d2.shape[1]
+    dist_or_inf = jnp.where(valid, d1, _INF)
+    best_per_que = jnp.full((nq,), _INF, dtype=d1.dtype).at[j].min(dist_or_inf)
+    is_winner = dist_or_inf <= best_per_que[j]
+    # break exact ties by lowest ref index
+    first_claimant = (
+        jnp.full((nq,), d2.shape[0], dtype=jnp.int32)
+        .at[j]
+        .min(jnp.where(is_winner, jnp.arange(d2.shape[0], dtype=jnp.int32), d2.shape[0]))
+    )
+    valid = jnp.logical_and(
+        valid,
+        jnp.logical_and(is_winner, first_claimant[j] == jnp.arange(d2.shape[0])),
+    )
+
+    target = jnp.where(valid, j, -1)
+    return MatchResult(target=target.astype(jnp.int32), valid=valid, distance=d1)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused distance + top-2 kernel
+# ---------------------------------------------------------------------------
+
+
+def _match_top2_kernel(ref_ref, que_ref, sqq_ref, maskq_ref, d1_ref, d2_ref, j1_ref):
+    """One grid step: a (TR, D) ref tile against a (TQ, D) que tile.
+
+    Keeps a running (best, second-best, argbest) per ref row across the que
+    grid dimension. Distances omit the |ref|^2 term (constant per row —
+    irrelevant to the top-2 ordering) and add it back on the host side.
+    """
+    q_idx = pl = None  # placate linters; real imports below
+    import jax.lax as lax
+    from jax.experimental import pallas as plmod
+
+    qi = plmod.program_id(1)
+    TQ = que_ref.shape[0]
+
+    cross = jnp.dot(
+        ref_ref[:, :], que_ref[:, :].T, preferred_element_type=jnp.float32
+    )  # (TR, TQ)
+    d = sqq_ref[0, :][None, :] - 2.0 * cross  # (TR, TQ) partial distances
+    d = jnp.where(maskq_ref[0, :][None, :] != 0, d, _INF)
+
+    neg2, idx2 = lax.top_k(-d, 2)
+    tile_d1 = -neg2[:, 0]
+    tile_d2 = -neg2[:, 1]
+    tile_j1 = idx2[:, 0] + qi * TQ
+
+    @plmod.when(qi == 0)
+    def _init():
+        d1_ref[:, 0] = tile_d1
+        d2_ref[:, 0] = tile_d2
+        j1_ref[:, 0] = tile_j1
+
+    @plmod.when(qi != 0)
+    def _merge():
+        old_d1 = d1_ref[:, 0]
+        old_d2 = d2_ref[:, 0]
+        old_j1 = j1_ref[:, 0]
+        new_best = tile_d1 < old_d1
+        best = jnp.where(new_best, tile_d1, old_d1)
+        best_j = jnp.where(new_best, tile_j1, old_j1)
+        # second best: min of (loser of best contest, both seconds)
+        runner = jnp.where(new_best, old_d1, tile_d1)
+        second = jnp.minimum(runner, jnp.minimum(old_d2, tile_d2))
+        d1_ref[:, 0] = best
+        d2_ref[:, 0] = second
+        j1_ref[:, 0] = best_j
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_match_top2(
+    desc_ref: Array,
+    desc_que: Array,
+    mask_que: Array,
+    interpret: bool = False,
+):
+    """Fused top-2 nearest-neighbour distances without materialising the
+    (Nr, Nq) matrix in HBM.
+
+    Returns (d1_sq, d2_sq, j1) per ref row (squared L2, full value including
+    the |ref|^2 term). Requires Nr, Nq multiples of 128 (the caller pads —
+    capacities are powers of two throughout the pipeline).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nr, dim = desc_ref.shape
+    nq = desc_que.shape[0]
+    TR, TQ = 128, 128
+    assert nr % TR == 0 and nq % TQ == 0, (nr, nq)
+
+    sqq = jnp.sum(desc_que.astype(jnp.float32) ** 2, axis=1)[None, :]  # (1, Nq)
+    maskq = mask_que.astype(jnp.int32)[None, :]
+
+    grid = (nr // TR, nq // TQ)
+    d1, d2, j1 = pl.pallas_call(
+        _match_top2_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TR, dim), lambda i, q: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TQ, dim), lambda i, q: (q, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ), lambda i, q: (0, q), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ), lambda i, q: (0, q), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TR, 1), lambda i, q: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), lambda i, q: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, 1), lambda i, q: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nr, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nr, 1), jnp.float32),
+            jax.ShapeDtypeStruct((nr, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(desc_ref, desc_que, sqq, maskq)
+
+    sqr = jnp.sum(desc_ref.astype(jnp.float32) ** 2, axis=1)
+    d1_sq = jnp.maximum(d1[:, 0] + sqr, 0.0)
+    d2_sq = jnp.maximum(d2[:, 0] + sqr, 0.0)
+    return d1_sq, d2_sq, j1[:, 0]

@@ -1,0 +1,87 @@
+"""Frontend tests: the native DoG detector + descriptor must produce
+matchable, geometrically consistent features on the real upenn pair.
+
+The oracle is functional quality (F-RANSAC inlier count on its own matches,
+in the same ballpark as cv2 SIFT), not keypoint-for-keypoint equality
+(SURVEY.md section 7: the frontend is a re-design, not a port).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from structure_from_motion_tpu.config import FrontendConfig, MatcherConfig, RansacConfig
+from structure_from_motion_tpu.io import load_image_grayscale
+from structure_from_motion_tpu.ops.epipolar import find_fundamental
+from structure_from_motion_tpu.ops.features import detect_and_describe
+from structure_from_motion_tpu.ops.matching import match_descriptors
+
+
+@pytest.fixture(scope="module")
+def upenn_pair_half(reference_dataset_path):
+    d = os.path.join(reference_dataset_path, "upenn")
+    i1 = load_image_grayscale(os.path.join(d, "image0000001.bmp"))[::2, ::2]
+    i2 = load_image_grayscale(os.path.join(d, "image0000002.bmp"))[::2, ::2]
+    return i1, i2
+
+
+CFG = FrontendConfig(max_keypoints=512, num_octaves=3)
+
+
+def test_detector_basic_properties(upenn_pair_half):
+    img, _ = upenn_pair_half
+    kps, desc = detect_and_describe(jnp.asarray(img), CFG)
+    assert kps.xy.shape == (512, 2)
+    assert desc.shape == (512, 128)
+    n_valid = int(kps.mask.sum())
+    assert n_valid > 300, n_valid
+    xy = np.asarray(kps.xy)[np.asarray(kps.mask)]
+    h, w = img.shape
+    assert (xy[:, 0] >= 0).all() and (xy[:, 0] < w).all()
+    assert (xy[:, 1] >= 0).all() and (xy[:, 1] < h).all()
+    # descriptors of valid kps are unit-ish (512 x normalised, clipped)
+    d = np.asarray(desc)[np.asarray(kps.mask)]
+    norms = np.linalg.norm(d, axis=1)
+    assert (norms > 100).all() and (norms < 1000).all()
+    # responses sorted descending by the top-k merge
+    resp = np.asarray(kps.response)[np.asarray(kps.mask)]
+    assert (np.diff(resp) <= 1e-6).all()
+
+
+def test_pair_matching_geometric_quality(upenn_pair_half):
+    i1, i2 = upenn_pair_half
+    kp1, d1 = detect_and_describe(jnp.asarray(i1), CFG)
+    kp2, d2 = detect_and_describe(jnp.asarray(i2), CFG)
+    res = match_descriptors(d1, d2, kp1.mask, kp2.mask, MatcherConfig(ratio=0.8))
+    n_matches = int(res.valid.sum())
+    assert n_matches > 60, n_matches
+
+    sel = res.valid
+    ref = jnp.where(sel[:, None], kp1.xy, 0.0)
+    que = jnp.where(sel[:, None], kp2.xy[jnp.where(sel, res.target, 0)], 0.0)
+    F = find_fundamental(
+        jax.random.key(0), ref, que, sel,
+        RansacConfig(inlier_threshold=2.0, iteration=512),
+    )
+    n_inl = int(F.num_inliers)
+    # the majority of ratio-test matches must be geometrically consistent
+    assert n_inl > 0.5 * n_matches, (n_inl, n_matches)
+    assert n_inl > 40
+
+
+def test_detector_deterministic(upenn_pair_half):
+    img, _ = upenn_pair_half
+    kp_a, d_a = detect_and_describe(jnp.asarray(img), CFG)
+    kp_b, d_b = detect_and_describe(jnp.asarray(img), CFG)
+    np.testing.assert_array_equal(np.asarray(kp_a.xy), np.asarray(kp_b.xy))
+    np.testing.assert_array_equal(np.asarray(d_a), np.asarray(d_b))
+
+
+def test_blank_image_yields_no_keypoints():
+    blank = jnp.zeros((256, 256), dtype=jnp.float32)
+    kps, desc = detect_and_describe(blank, CFG)
+    assert int(kps.mask.sum()) == 0
+    assert bool(jnp.isfinite(desc).all())
