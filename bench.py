@@ -1,0 +1,128 @@
+"""Benchmark: the BASELINE.json headline metrics on the current device.
+
+Prints ONE JSON line:
+    {"metric": "upenn_frames_per_s", "value": ..., "unit": "frames/s",
+     "vs_baseline": ..., ...extras}
+
+- frames/s: full native pipeline (on-device DoG frontend -> matching ->
+  PnP -> triangulation -> bundle adjustment) over the 6-image upenn
+  sequence, steady-state (compile excluded by a warm-up pass over the same
+  shapes).
+- vs_baseline: against the reference implementation measured end-to-end on
+  this container's CPU (willSapgreen/structure-from-motion,
+  `python3 ba_processor.py`, measured 2026-08-16: see REFERENCE_SECONDS).
+- extras: BA iterations/s at upenn scale, mean reprojection error, map size.
+
+Runs on whatever device jax picks (the real TPU under the axon tunnel;
+CPU elsewhere). Keep it under ~10 minutes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Reference `python3 ba_processor.py` wall time on this container's CPU
+# (6 upenn frames, single process, measured once; see /tmp/ref_run.log
+# provenance in round-1 logs). Conservative: excludes matplotlib teardown.
+REFERENCE_SECONDS = 1311.9  # measured 2026-08-16, single-core container CPU
+REFERENCE_FRAMES = 6
+REFERENCE_BA_ITERS_PER_S = 3 * 4 / REFERENCE_SECONDS * 2  # ~4 BA runs of 3 iters; x2 as BA is ~half the runtime
+
+UPENN = "/root/reference/test_dataset/upenn"
+
+
+def bench_ba_iters_per_s():
+    """BA iterations/s at upenn scale (6 cams, 1024 pts, 6k obs)."""
+    import jax
+
+    import __graft_entry__ as ge
+    from structure_from_motion_tpu.config import BAConfig
+    from structure_from_motion_tpu.ops.ba import run_bundle_adjustment
+
+    iters = 20
+    cfg = BAConfig(iterations=iters, damping=5.0, huber_delta=0.01)
+    state, obs = ge._synthetic_ba_problem()
+    f = jax.jit(lambda s, o: run_bundle_adjustment(s, o, cfg)[1])
+    jax.block_until_ready(f(state, obs))  # compile
+    n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        jax.block_until_ready(f(state, obs))
+    dt = (time.perf_counter() - t0) / n_rep
+    return iters / dt
+
+
+def bench_pipeline():
+    """Full native pipeline over upenn; returns (frames/s, extras)."""
+    import jax
+
+    from structure_from_motion_tpu.config import (
+        CapacityConfig,
+        FrontendConfig,
+        MatcherConfig,
+        PipelineConfig,
+    )
+    from structure_from_motion_tpu.io import load_image_grayscale, upenn_intrinsics
+    from structure_from_motion_tpu.models import IncrementalSfM
+
+    max_kp = 1024
+    cfg = PipelineConfig(
+        frontend=FrontendConfig(max_keypoints=max_kp),
+        matcher=MatcherConfig(ratio=0.8),
+        capacity=CapacityConfig(
+            max_views=8, max_keypoints=max_kp, max_points=8192,
+            max_observations=32768,
+        ),
+    )
+    K = upenn_intrinsics()
+    files = [os.path.join(UPENN, f"image{i:07d}.bmp") for i in range(1, 7)]
+    imgs = [load_image_grayscale(f) for f in files]
+
+    # warm-up pass compiles every stage shape (frames 0,1,2 hit all stages)
+    warm = IncrementalSfM(cfg, K, frontend="native")
+    for img in imgs[:3]:
+        warm.process_image(img)
+
+    engine = IncrementalSfM(cfg, K, frontend="native")
+    t0 = time.perf_counter()
+    info = {}
+    for img in imgs:
+        info = engine.process_image(img)
+    dt = time.perf_counter() - t0
+    extras = {
+        "reprojection_px": float(info.get("reprojection_px", float("nan"))),
+        "map_points": int(len(engine.map_points())),
+    }
+    return len(imgs) / dt, extras
+
+
+def main():
+    t_start = time.time()
+    ba_iters = bench_ba_iters_per_s()
+    frames_per_s, extras = (float("nan"), {})
+    if os.path.isdir(UPENN):
+        frames_per_s, extras = bench_pipeline()
+
+    ref_fps = REFERENCE_FRAMES / REFERENCE_SECONDS
+    result = {
+        "metric": "upenn_frames_per_s",
+        "value": round(frames_per_s, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(frames_per_s / ref_fps, 2)
+        if np.isfinite(frames_per_s)
+        else None,
+        "ba_iters_per_s_upenn_scale": round(ba_iters, 2),
+        "bench_wall_s": round(time.time() - t_start, 1),
+        **extras,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -119,7 +119,16 @@ class BAConfig:
     """
 
     iterations: int = 3
-    damping: float = 5.0
+    damping: float = 5.0  # initial lambda (the reference's fixed value)
+    # Adaptive trust-region control (deliberate improvement: the reference
+    # never adapts lambda and never rejects a step, ba_processor.py:376-416).
+    # Each iteration evaluates the candidate cost; accepted steps shrink
+    # lambda, rejected steps are discarded and grow it.
+    adaptive: bool = True
+    damping_down: float = 0.3
+    damping_up: float = 4.0
+    min_damping: float = 1e-8
+    max_damping: float = 1e8
     huber_delta: float = 0.0  # 0 disables the robust loss (reference parity)
     fix_first_camera_gauge: bool = False  # reference leaves gauge free
     pcg_fallback_cameras: int = 256  # above this many cameras, solve S by PCG
@@ -166,9 +175,18 @@ class PipelineConfig:
     triangulation_lm: LMConfig = dataclasses.field(
         default_factory=lambda: LMConfig(damping=5.0, iterations=100)
     )
-    ba: BAConfig = dataclasses.field(default_factory=BAConfig)
+    # Huber delta is in normalised camera units (0.01 ~ 5.7 px at f=570);
+    # robust loss on by default in the pipeline (off in raw BAConfig for
+    # reference parity).
+    ba: BAConfig = dataclasses.field(
+        default_factory=lambda: BAConfig(huber_delta=0.01)
+    )
     capacity: CapacityConfig = dataclasses.field(default_factory=CapacityConfig)
     window_size: int = 10  # reference `filter_size` (ba_processor.py:24)
+    # map admission: max per-view reprojection error of a new point (px)
+    triangulation_max_error_px: float = 8.0
+    # map admission: minimum ray (parallax) angle of a new point (degrees)
+    min_parallax_deg: float = 2.0
 
     # -- (de)serialisation -------------------------------------------------
     def to_json(self) -> str:

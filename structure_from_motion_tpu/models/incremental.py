@@ -1,0 +1,386 @@
+"""The flagship model: incremental Structure-from-Motion.
+
+Re-designs the reference orchestrator ``BaProcessor.process``
+(``ba_processor.py:43-270``) as a host-side state machine over four jitted,
+fixed-shape device stages (the only host decisions are the frame counter
+and which stage to dispatch — every array stays on device between frames):
+
+    frame 0   : store features, pin view 0 at the origin
+    frame 1   : two-view bootstrap (F -> E -> 4 candidates -> per-candidate
+                linear triangulation -> cheirality vote -> LM refinement)
+    frame >= 2: localize against the most covisible view (PnP), triangulate
+                the not-yet-constructed matches, run bundle adjustment
+
+Deliberate improvements over the reference (each cited in the stage
+docstrings): ``find_best_view`` is a real covisibility argmax instead of a
+stub returning 0; newly triangulated points must pass a positive-depth
+(cheirality) gate before entering the map; PnP-inlier re-observations of
+existing points are recorded, so bundle adjustment sees every view of a
+point rather than only its creating pair; BA runs adaptive-damping LM.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from structure_from_motion_tpu.config import PipelineConfig
+from structure_from_motion_tpu.models import tracks
+from structure_from_motion_tpu.models.tracks import SfMState
+from structure_from_motion_tpu.ops.ba import (
+    BAObservations,
+    BAState,
+    run_bundle_adjustment,
+)
+from structure_from_motion_tpu.ops.campose import (
+    candidate_projections,
+    cheirality_mask,
+    decompose_essential,
+    disambiguate_poses,
+)
+from structure_from_motion_tpu.ops.epipolar import (
+    essential_from_fundamental,
+    find_fundamental,
+)
+from structure_from_motion_tpu.ops.features import detect_and_describe
+from structure_from_motion_tpu.ops.matching import match_descriptors
+from structure_from_motion_tpu.ops.pnp import estimate_pnp
+from structure_from_motion_tpu.ops.triangulation import (
+    linear_triangulate,
+    refine_triangulate,
+    reprojection_residuals,
+    triangulate,
+)
+from structure_from_motion_tpu.utils.geometry import (
+    camera_projection,
+    normalized_camera_coords,
+)
+from structure_from_motion_tpu.utils.rotations import (
+    quat_to_rotation,
+    rotation_to_quat,
+)
+
+
+def _match_stage(state: SfMState, v: Array, config: PipelineConfig) -> SfMState:
+    """Match view v against every prior view (reference ``add_new_view``,
+    ``key_tracker.py:97-129``: the all-pairs O(V^2) policy). Sequential
+    ``lax.map`` over the view axis keeps peak memory at one (K, K)
+    distance matrix."""
+    desc_v = state.kp_desc[v]
+    valid_v = state.kp_valid[v]
+    V = state.kp_desc.shape[0]
+
+    def per_view(u):
+        res = match_descriptors(
+            state.kp_desc[u], desc_v,
+            jnp.logical_and(state.kp_valid[u], u < v), valid_v,
+            config.matcher,
+        )
+        return res.target, res.valid
+
+    targets, valids = jax.lax.map(per_view, jnp.arange(V))
+
+    def write(u, st):
+        return tracks.record_matches(st, u, v, targets[u], jnp.logical_and(valids[u], u < v))
+
+    return jax.lax.fori_loop(0, V, write, state)
+
+
+def _bootstrap_stage(state: SfMState, key: Array, config: PipelineConfig) -> tuple[SfMState, dict]:
+    """Two-view bootstrap (reference ``ba_processor.py:63-135``)."""
+    ref_keys, que_keys, ref_xy, que_xy, valid = tracks.matched_pair_arrays(state, 0, 1)
+
+    F = find_fundamental(key, ref_xy, que_xy, valid, config.fundamental_ransac)
+    E = essential_from_fundamental(F.F, state.K, state.K)
+    cands = decompose_essential(E)
+
+    R0 = quat_to_rotation(state.cam_q[0])
+    P_ref = camera_projection(state.K, R0, state.cam_C[0])
+    P_cands = candidate_projections(state.K, cands)
+
+    uv = jnp.stack([ref_xy, que_xy], axis=1)  # (K, 2 views, 2)
+    obs_mask = jnp.stack([valid, valid], axis=1)
+    X4 = jax.vmap(
+        lambda P2: linear_triangulate(jnp.stack([P_ref, P2]), uv, obs_mask)
+    )(P_cands)  # (4, K, 4)
+
+    best, counts, cheir_ok = disambiguate_poses(P_ref, P_cands, X4, valid)
+    R1, C1 = cands.R[best], cands.C[best]
+    state = tracks.set_camera(state, 1, C1, rotation_to_quat(R1))
+
+    P1 = P_cands[best]
+    refine_mask = jnp.stack([cheir_ok, cheir_ok], axis=1)
+    Xh = refine_triangulate(
+        jnp.stack([P_ref, P1]), uv, refine_mask, X4[best], config.triangulation_lm
+    )
+
+    # map admission gate: cheirality AND epipolar inlier (improvement: the
+    # reference admits every cheirality-positive match, including F-RANSAC
+    # outliers, which poisons its map and BA with wrong correspondences)
+    keep = jnp.logical_and(cheir_ok, F.inliers)
+    state, ids = tracks.allocate_points(state, Xh[:, :3], keep)
+    state = tracks.set_tri_index(state, 0, ref_keys, ids, keep)
+    state = tracks.set_tri_index(state, 1, que_keys, ids, keep)
+    state = tracks.append_observations(
+        state, jnp.zeros_like(ids), ids, ref_xy, keep
+    )
+    state = tracks.append_observations(
+        state, jnp.ones_like(ids), ids, que_xy, keep
+    )
+    info = {
+        "matches": jnp.sum(valid),
+        "f_inliers": F.num_inliers,
+        "cheirality_counts": counts,
+        "new_points": jnp.sum(keep),
+    }
+    return state, info
+
+
+def _localize_stage(
+    state: SfMState, v: Array, key: Array, config: PipelineConfig
+) -> tuple[SfMState, dict]:
+    """PnP localization + incremental triangulation
+    (reference ``ba_processor.py:137-267``).
+
+    Deliberate improvement over the reference's single-best-view 2D-3D set
+    (which is also why its ``find_best_view`` stub "works"): the PnP input
+    is the UNION of correspondences from ALL prior views — every match
+    (u, v, k) whose u-key already has a map point contributes one 2D-3D
+    pair, deduplicated per map point. Late frames that share few features
+    with any single view still localize against the whole map.
+    """
+    V, Kk = state.tri_index.shape
+    targets = state.match_table[:, v, :]  # (V, K) key in v matched to (u, k)
+    valid_m = targets >= 0  # rows for u >= v are all -1 by construction
+    tri_ids_all = state.tri_index  # (V, K)
+    has3d_all = tri_ids_all >= 0
+
+    flat_pt = jnp.maximum(tri_ids_all, 0).reshape(-1)  # (V*K,)
+    flat_tgt = jnp.maximum(targets, 0).reshape(-1)
+    flat_mask = jnp.logical_and(valid_m, has3d_all).reshape(-1)
+    # No dedup for the solver: a point re-matched through several views just
+    # gets a little extra weight in RANSAC scoring, and dropping duplicates
+    # measurably starves the consensus set.
+
+    X3d = state.points[flat_pt]
+    uv_v_all = state.kp_xy[v][flat_tgt]
+
+    pnp = estimate_pnp(
+        key, X3d, uv_v_all, state.K, flat_mask, config.pnp_ransac, config.pnp_lm
+    )
+    state = tracks.set_camera(state, v, pnp.C, rotation_to_quat(pnp.R))
+
+    # record the current view's observations of the points it localized
+    # against (deliberate improvement: the reference never writes these, so
+    # its BA only ever sees each point from its creating pair of views).
+    # Dedup HERE: one observation per map point, from the most recent view's
+    # match (closest viewpoint -> most reliable correspondence).
+    obs_ok = jnp.logical_and(flat_mask, pnp.inliers)
+    M = state.points.shape[0]
+    order = jnp.arange(flat_pt.shape[0], dtype=jnp.int32)
+    latest = jnp.full((M,), -1, jnp.int32).at[
+        jnp.where(obs_ok, flat_pt, M - 1)
+    ].max(jnp.where(obs_ok, order, -1), mode="drop")
+    obs_ok = jnp.logical_and(obs_ok, latest[flat_pt] == order)
+    state = tracks.append_observations(
+        state, jnp.full_like(flat_pt, 0) + v, flat_pt, uv_v_all, obs_ok
+    )
+    # mark the current view's keys as covering those map points so future
+    # frames can localize against them through this view
+    state = tracks.set_tri_index(state, v, flat_tgt, flat_pt, obs_ok)
+
+    # triangulate brand-new matches against EVERY prior view (improvement:
+    # the reference only triangulates against its best_view stub = view 0,
+    # so map growth collapses as soon as the camera leaves view 0's frustum)
+    P_v = camera_projection(state.K, pnp.R, pnp.C)
+    n_before = state.num_points
+
+    def tri_with_view(u, st):
+        def do(st):
+            return _triangulate_pair(st, u, v, P_v, config)
+
+        return jax.lax.cond(
+            jnp.logical_and(u < v, st.cam_valid[u]), do, lambda s: s, st
+        )
+
+    state = jax.lax.fori_loop(0, V, tri_with_view, state)
+
+    info = {
+        "matches": jnp.sum(valid_m),
+        "pnp_candidates": jnp.sum(flat_mask),
+        "pnp_inliers": pnp.num_inliers,
+        "new_points": state.num_points - n_before,
+    }
+    return state, info
+
+
+def _triangulate_pair(
+    state: SfMState, u: Array, v: Array, P_v: Array, config: PipelineConfig
+) -> SfMState:
+    """Triangulate the (u, v) matches where neither key has a map point yet,
+    gate by positive depth in both views (improvement: the reference adds
+    every triangulated match to the map unchecked, ba_processor.py:222-261),
+    and register points + observations for both views."""
+    ref_keys, que_keys, ref_xy, que_xy, valid = tracks.matched_pair_arrays(state, u, v)
+    u_free = state.tri_index[u] < 0
+    v_free = state.tri_index[v][que_keys] < 0
+    new_mask = valid & u_free & v_free
+
+    R_u = quat_to_rotation(state.cam_q[u])
+    P_u = camera_projection(state.K, R_u, state.cam_C[u])
+    uv = jnp.stack([ref_xy, que_xy], axis=1)
+    obs_mask = jnp.stack([new_mask, new_mask], axis=1)
+    Xh = triangulate(jnp.stack([P_u, P_v]), uv, obs_mask, config.triangulation_lm)
+
+    cheir = cheirality_mask(P_u, P_v, Xh, new_mask)
+    # admission gates (the reference admits everything,
+    # ba_processor.py:222-261):
+    #   1. positive depth in both views,
+    #   2. reprojection error below threshold in both views,
+    #   3. triangulation (parallax) angle above threshold — short-baseline
+    #      pairs give depth-degenerate points that wreck later PnP.
+    res, _ = reprojection_residuals(
+        jnp.stack([P_u, P_v]), Xh[:, :3], uv, obs_mask
+    )
+    err = jnp.linalg.norm(res, axis=-1)  # (K, 2)
+    small = jnp.max(err, axis=1) < config.triangulation_max_error_px
+    r_u = Xh[:, :3] - state.cam_C[u]
+    r_v = Xh[:, :3] - state.cam_C[v]
+    cosang = jnp.sum(r_u * r_v, axis=1) / jnp.maximum(
+        jnp.linalg.norm(r_u, axis=1) * jnp.linalg.norm(r_v, axis=1), 1e-12
+    )
+    enough_parallax = cosang < jnp.cos(
+        jnp.deg2rad(config.min_parallax_deg)
+    )
+    keep = new_mask & cheir & small & enough_parallax
+
+    state, ids = tracks.allocate_points(state, Xh[:, :3], keep)
+    state = tracks.set_tri_index(state, u, ref_keys, ids, keep)
+    state = tracks.set_tri_index(state, v, que_keys, ids, keep)
+    state = tracks.append_observations(state, jnp.full_like(ids, 0) + u, ids, ref_xy, keep)
+    state = tracks.append_observations(state, jnp.full_like(ids, 0) + v, ids, que_xy, keep)
+    return state
+
+
+def _ba_stage(state: SfMState, config: PipelineConfig) -> tuple[SfMState, Array]:
+    """Global bundle adjustment over all valid views/points/observations."""
+    ba_state = BAState(
+        C=state.cam_C,
+        q=state.cam_q,
+        X=state.points,
+        cam_valid=state.cam_valid,
+        pt_valid=state.pt_valid,
+    )
+    obs = BAObservations(
+        cam=state.obs_cam,
+        point=state.obs_pt,
+        uv_norm=normalized_camera_coords(state.K, state.obs_uv),
+        valid=state.obs_valid,
+    )
+    out, costs = run_bundle_adjustment(ba_state, obs, config.ba)
+    state = state._replace(cam_C=out.C, cam_q=out.q, points=out.X)
+    return state, costs
+
+
+def pipeline_reprojection_error(state: SfMState) -> Array:
+    """Mean pixel reprojection error over all valid observations — the
+    headline quality metric (BASELINE.json)."""
+    from structure_from_motion_tpu.ops.reproj import pixel_residuals
+
+    res, _ = pixel_residuals(
+        state.K,
+        state.cam_C[state.obs_cam],
+        state.cam_q[state.obs_cam],
+        state.points[state.obs_pt],
+        state.obs_uv,
+    )
+    w = state.obs_valid.astype(res.dtype)
+    err = jnp.linalg.norm(res * w[:, None], axis=-1)
+    return jnp.sum(err) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+class IncrementalSfM:
+    """Host-side orchestrator. Feed frames; poses/map accumulate on device.
+
+    ``frontend="native"`` runs the on-device DoG detector;
+    ``frontend="precomputed"`` lets callers push externally detected
+    features via :meth:`process_features` (used by tests to isolate the
+    geometry stack with the cv2-SIFT oracle frontend — the analogue of the
+    reference's pickled-keypoint caches, ``view_processor.py:81-98``).
+    """
+
+    def __init__(self, config: PipelineConfig, K, frontend: str = "native", seed: int = 0):
+        if config.frontend.max_keypoints != config.capacity.max_keypoints:
+            raise ValueError("frontend.max_keypoints must equal capacity.max_keypoints")
+        self.config = config
+        self.state = tracks.init_state(config.capacity, K)
+        self.frontend = frontend
+        self._key = jax.random.key(seed)
+        self._frame = 0
+        cfg = config
+
+        self._jit_match = jax.jit(lambda s, v: _match_stage(s, v, cfg))
+        self._jit_bootstrap = jax.jit(lambda s, k: _bootstrap_stage(s, k, cfg))
+        self._jit_localize = jax.jit(lambda s, v, k: _localize_stage(s, v, k, cfg))
+        self._jit_ba = jax.jit(lambda s: _ba_stage(s, cfg))
+        self._jit_detect = jax.jit(
+            lambda img: detect_and_describe(img, cfg.frontend)
+        )
+        self._jit_set_feats = jax.jit(tracks.set_view_features)
+        self._jit_reproj = jax.jit(pipeline_reprojection_error)
+
+    # -- feeding frames ----------------------------------------------------
+    def process_image(self, img) -> dict:
+        if self.frontend != "native":
+            raise RuntimeError("process_image requires the native frontend")
+        kps, desc = self._jit_detect(jnp.asarray(img))
+        return self.process_features(kps.xy, desc, kps.mask)
+
+    def process_features(self, xy, desc, valid) -> dict:
+        v = self._frame
+        if v >= self.config.capacity.max_views or v >= self.config.window_size:
+            return {"skipped": True, "frame": v}
+        dtype = self.state.kp_xy.dtype
+        self.state = self._jit_set_feats(
+            self.state,
+            jnp.asarray(v),
+            jnp.asarray(xy, dtype),
+            jnp.asarray(desc, dtype),
+            jnp.asarray(valid, bool),
+        )
+        self.state = self._jit_match(self.state, jnp.asarray(v))
+        info: dict[str, Any] = {"frame": v}
+        self._key, sub = jax.random.split(self._key)
+        if v == 0:
+            self.state = tracks.set_camera(
+                self.state, 0, jnp.zeros(3, dtype), jnp.asarray([1.0, 0, 0, 0], dtype)
+            )
+        elif v == 1:
+            self.state, stage_info = self._jit_bootstrap(self.state, sub)
+            info.update({k: np.asarray(val) for k, val in stage_info.items()})
+        else:
+            self.state, stage_info = self._jit_localize(self.state, jnp.asarray(v), sub)
+            info.update({k: np.asarray(val) for k, val in stage_info.items()})
+            self.state, costs = self._jit_ba(self.state)
+            info["ba_costs"] = np.asarray(costs)
+        self._frame += 1
+        info["reprojection_px"] = float(self._jit_reproj(self.state))
+        return info
+
+    # -- results -----------------------------------------------------------
+    def poses(self):
+        """(locs (F,3), rots (F,3,3)) for the processed frames — the layout
+        of the reference's golden ``view_pose.pkl``."""
+        n = self._frame
+        C = np.asarray(self.state.cam_C)[:n]
+        R = np.asarray(quat_to_rotation(self.state.cam_q[:n]))
+        return C, R
+
+    def map_points(self):
+        X = np.asarray(self.state.points)
+        return X[np.asarray(self.state.pt_valid)]

@@ -1,0 +1,206 @@
+"""Device-resident track table, map, and observation store.
+
+Replaces the reference ``KeyTrack``/``KeyTracker`` (``key_tracker.py:14-204``)
+and the growing ``tri_pts`` hstack map (``triangulation_processor.py:21-28``)
+with one fixed-capacity pytree that lives on the device across the whole
+reconstruction:
+
+* ``match_table[u, v, k]`` = index of the key in view v matched with key k
+  of view u (-1 invalid) — the dense equivalent of ``KeyTrack.table``'s
+  off-diagonal rows, symmetric by construction
+  (``key_tracker.py:305-314``).
+* ``tri_index[v, k]`` = map-point id triangulated from key k of view v
+  (-1 none) — the reference's diagonal-row trick (``key_tracker.py:21-29``).
+* ``points``/``pt_valid``/``num_points`` — masked-capacity map instead of
+  hstack growth.
+* explicit SoA observation store (cam, point, pixel uv) — the reference
+  derives visibility by ``is_visible`` table scans inside the BA loop
+  (``key_tracker.py:198-204``); keeping observations explicit makes BA a
+  pure gather and the observation axis shardable.
+
+All mutation helpers are pure (state in, state out), jit-safe, and use
+``mode="drop"`` scatters so masked writes vanish instead of clobbering.
+The reference's ``row > 0`` quirk that silently drops key index 0
+(``key_tracker.py:162``) is deliberately fixed: validity is ``>= 0``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import Array
+
+from structure_from_motion_tpu.config import CapacityConfig
+
+
+class SfMState(NamedTuple):
+    # frontend
+    kp_xy: Array  # (V, K, 2) f32
+    kp_desc: Array  # (V, K, D) f32
+    kp_valid: Array  # (V, K) bool
+    # correspondence / track store
+    match_table: Array  # (V, V, K) int32
+    tri_index: Array  # (V, K) int32
+    # cameras
+    cam_C: Array  # (V, 3)
+    cam_q: Array  # (V, 4)
+    cam_valid: Array  # (V,) bool
+    # map
+    points: Array  # (M, 3)
+    pt_valid: Array  # (M,) bool
+    num_points: Array  # () int32
+    # observations (pixel coords; normalised lazily for BA)
+    obs_cam: Array  # (O,) int32
+    obs_pt: Array  # (O,) int32
+    obs_uv: Array  # (O, 2)
+    obs_valid: Array  # (O,) bool
+    num_obs: Array  # () int32
+    # intrinsics (shared across views, like the reference's single K)
+    K: Array  # (3, 3)
+
+
+def init_state(cap: CapacityConfig, K: Array, desc_dim: int = 128, dtype=jnp.float32) -> SfMState:
+    V, Kk, M, O = cap.max_views, cap.max_keypoints, cap.max_points, cap.max_observations
+    return SfMState(
+        kp_xy=jnp.zeros((V, Kk, 2), dtype),
+        kp_desc=jnp.zeros((V, Kk, desc_dim), dtype),
+        kp_valid=jnp.zeros((V, Kk), bool),
+        match_table=jnp.full((V, V, Kk), -1, jnp.int32),
+        tri_index=jnp.full((V, Kk), -1, jnp.int32),
+        cam_C=jnp.zeros((V, 3), dtype),
+        cam_q=jnp.tile(jnp.asarray([1.0, 0, 0, 0], dtype), (V, 1)),
+        cam_valid=jnp.zeros((V,), bool),
+        points=jnp.zeros((M, 3), dtype),
+        pt_valid=jnp.zeros((M,), bool),
+        num_points=jnp.asarray(0, jnp.int32),
+        obs_cam=jnp.zeros((O,), jnp.int32),
+        obs_pt=jnp.zeros((O,), jnp.int32),
+        obs_uv=jnp.zeros((O, 2), dtype),
+        obs_valid=jnp.zeros((O,), bool),
+        num_obs=jnp.asarray(0, jnp.int32),
+        K=jnp.asarray(K, dtype),
+    )
+
+
+def set_view_features(
+    state: SfMState, v: Array, xy: Array, desc: Array, valid: Array
+) -> SfMState:
+    """Store one view's fixed-size keypoint buffers at row ``v``."""
+    return state._replace(
+        kp_xy=state.kp_xy.at[v].set(xy),
+        kp_desc=state.kp_desc.at[v].set(desc),
+        kp_valid=state.kp_valid.at[v].set(valid),
+    )
+
+
+def record_matches(
+    state: SfMState, u: Array, v: Array, target: Array, valid: Array
+) -> SfMState:
+    """Write matches of view u's keys onto view v symmetrically.
+
+    ``target[k]`` = key index in v matched with key k of u. Writes
+    ``match_table[u, v, k] = target[k]`` and the inverse row
+    ``match_table[v, u, target[k]] = k`` (the reference's symmetric update,
+    ``key_tracker.py:305-314``).
+    """
+    Kk = target.shape[0]
+    fwd = jnp.where(valid, target, -1).astype(jnp.int32)
+    table = state.match_table.at[u, v].set(fwd)
+    ks = jnp.arange(Kk, dtype=jnp.int32)
+    safe_tgt = jnp.where(valid, target, Kk)  # Kk drops out of bounds
+    inv_row = jnp.full((Kk,), -1, jnp.int32).at[safe_tgt].set(ks, mode="drop")
+    table = table.at[v, u].set(inv_row)
+    return state._replace(match_table=table)
+
+
+def set_camera(state: SfMState, v: Array, C: Array, q: Array) -> SfMState:
+    return state._replace(
+        cam_C=state.cam_C.at[v].set(C),
+        cam_q=state.cam_q.at[v].set(q),
+        cam_valid=state.cam_valid.at[v].set(True),
+    )
+
+
+def allocate_points(state: SfMState, X: Array, mask: Array):
+    """Append masked new points to the map.
+
+    ``X``: (N, 3) candidates, ``mask``: (N,) which to keep. Returns
+    (state, ids (N,) int32) where ids[i] is the assigned map id (garbage
+    where ``mask`` is False — callers must gate on the same mask).
+    Overflow beyond capacity is dropped (ids >= M scatter to nowhere).
+    """
+    ranks = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    ids = state.num_points + ranks
+    M = state.points.shape[0]
+    dest = jnp.where(mask, ids, M)
+    points = state.points.at[dest].set(X, mode="drop")
+    pt_valid = state.pt_valid.at[dest].set(mask, mode="drop")
+    n_new = jnp.sum(mask.astype(jnp.int32))
+    state = state._replace(
+        points=points,
+        pt_valid=pt_valid,
+        num_points=jnp.minimum(state.num_points + n_new, M),
+    )
+    return state, ids.astype(jnp.int32)
+
+
+def set_tri_index(state: SfMState, v: Array, keys: Array, ids: Array, mask: Array) -> SfMState:
+    """tri_index[v, keys] = ids where mask (masked scatter)."""
+    Kk = state.tri_index.shape[1]
+    safe_keys = jnp.where(mask, keys, Kk)
+    row = state.tri_index[v].at[safe_keys].set(
+        jnp.where(mask, ids, -1).astype(jnp.int32), mode="drop"
+    )
+    return state._replace(tri_index=state.tri_index.at[v].set(row))
+
+
+def append_observations(
+    state: SfMState, cam: Array, point: Array, uv: Array, mask: Array
+) -> SfMState:
+    """Append masked observations to the SoA store (capacity-bounded)."""
+    O = state.obs_cam.shape[0]
+    ranks = jnp.cumsum(mask.astype(jnp.int32)) - 1
+    dest = jnp.where(mask, state.num_obs + ranks, O)
+    dest = jnp.where(dest >= O, O, dest)
+    kept = jnp.logical_and(mask, dest < O)
+    return state._replace(
+        obs_cam=state.obs_cam.at[dest].set(cam.astype(jnp.int32), mode="drop"),
+        obs_pt=state.obs_pt.at[dest].set(point.astype(jnp.int32), mode="drop"),
+        obs_uv=state.obs_uv.at[dest].set(uv, mode="drop"),
+        obs_valid=state.obs_valid.at[dest].set(kept, mode="drop"),
+        num_obs=jnp.minimum(state.num_obs + jnp.sum(kept.astype(jnp.int32)), O),
+    )
+
+
+def matched_pair_arrays(state: SfMState, u: Array, v: Array):
+    """Correspondences of views (u, v) as fixed-shape arrays.
+
+    Returns (ref_keys (K,), que_keys (K,), ref_xy (K,2), que_xy (K,2),
+    valid (K,)). The reference rebuilds ragged pair lists per call
+    (``key_tracker.py:132-181``); here the row itself is the pair set.
+    """
+    Kk = state.match_table.shape[2]
+    tgt = state.match_table[u, v]
+    valid = tgt >= 0
+    ref_keys = jnp.arange(Kk, dtype=jnp.int32)
+    que_keys = jnp.where(valid, tgt, 0)
+    ref_xy = state.kp_xy[u]
+    que_xy = state.kp_xy[v][que_keys]
+    return ref_keys, que_keys, ref_xy, que_xy, valid
+
+
+def find_best_view(state: SfMState, v: Array) -> Array:
+    """Most covisible previous view: argmax over u < v of the number of
+    (u, v) matches whose u-key already has a triangulated point.
+
+    Deliberate fix of the reference's stub which always returns view 0 and
+    hard-exits when the assumption breaks (``key_tracker.py:184-195``,
+    ``ba_processor.py:170-174``).
+    """
+    matched = state.match_table[:, v, :] >= 0  # (V, K)
+    has3d = state.tri_index >= 0  # (V, K)
+    counts = jnp.sum(jnp.logical_and(matched, has3d), axis=1)  # (V,)
+    V = counts.shape[0]
+    counts = jnp.where(jnp.arange(V) < v, counts, -1)
+    return jnp.argmax(counts).astype(jnp.int32)

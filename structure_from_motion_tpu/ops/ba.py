@@ -1,0 +1,252 @@
+"""Sparse bundle adjustment: Schur-complement Levenberg-Marquardt.
+
+Replaces the reference ``BaProcessor.__execute_bundle_adjustment``
+(``ba_processor.py:274-439``) with a TPU-native formulation:
+
+Reference (per LM iteration): a Python loop over every (point, view) pair,
+``is_visible`` table lookups, per-observation dense Jacobian strips into a
+2 x 7V camera Jacobian and 2 x 3M point Jacobian, an explicit
+``scipy.linalg.block_diag`` of all 3x3 point-block inverses — O((3M)^2)
+memory — and a dense reduced camera solve.
+
+Here: observations live in an SoA layout ``(obs_cam, obs_point, obs_uv)``
+with a validity mask (fixed capacity). One LM iteration is:
+
+    1. residual + Jacobian blocks for ALL observations at once (one fused
+       vmapped kernel from ``ops/reproj.py``): res (O,2), J_cam (O,2,7),
+       J_pt (O,2,3);
+    2. optional Huber robust-loss reweighting (deliberate improvement; off
+       by default for reference parity);
+    3. block assembly by segment-sum:
+         U_v  = sum_{o in view v}  J_cam^T J_cam   (V,7,7)
+         D_m  = sum_{o in point m} J_pt^T J_pt     (M,3,3)
+         W_o  = J_cam^T J_pt                       (O,7,3)
+         b_c, b_p = J^T res
+       D stays a batched (M,3,3) array; its inverse is the closed-form
+       ``inv3x3`` — never a dense block_diag;
+    4. Schur complement on point blocks. Per-point camera coupling is
+       scattered into G (M,V,7,3) (at most one observation per (view,point)
+       pair, matching the reference's table semantics) and the reduced
+       system S = U + lambda I - G D^-1 G^T is formed by one einsum
+       contraction — XLA never materialises an (M,7V,7V) intermediate;
+    5. dense Cholesky solve of the (7V,7V) reduced system (V <= window
+       size; for large V, ``parallel/ba_sharded.py`` swaps in PCG with
+       psum'd matvecs), then back-substitution for the point updates;
+    6. ``C += dc``, ``q <- normalize(q + dq)``, ``X += dp`` (the
+       reference's quaternion-renorm update, ``ba_processor.py:386-416``).
+
+Damping is the reference's fixed lambda added to both camera and point
+blocks; iteration count is static. Gauge fixing (pin camera 0) is optional
+— the reference leaves the gauge free.
+
+The whole step is pure and shard-ready: ``_assemble`` and ``_solve`` are
+written so the observation/point axes can be sharded and the (7V,7V)
+reduced system psum-reduced (see ``parallel/ba_sharded.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from structure_from_motion_tpu.config import BAConfig
+from structure_from_motion_tpu.ops.linalg import inv3x3
+from structure_from_motion_tpu.ops.reproj import batched_residual_jacobians
+from structure_from_motion_tpu.utils.rotations import quat_normalize
+
+
+class BAState(NamedTuple):
+    C: Array  # (V, 3) camera centers
+    q: Array  # (V, 4) camera quaternions (w, x, y, z)
+    X: Array  # (M, 3) map points
+    cam_valid: Array  # (V,) bool
+    pt_valid: Array  # (M,) bool
+
+
+class BAObservations(NamedTuple):
+    cam: Array  # (O,) int32 camera index
+    point: Array  # (O,) int32 point index
+    uv_norm: Array  # (O, 2) measurement in normalised camera coords
+    valid: Array  # (O,) bool
+
+
+def huber_weights(res: Array, delta: float) -> Array:
+    """Per-observation sqrt-IRLS weights for the Huber loss; 1.0 if off."""
+    if delta <= 0.0:
+        return jnp.ones(res.shape[0], dtype=res.dtype)
+    norm = jnp.linalg.norm(res, axis=-1)
+    w = jnp.where(norm <= delta, 1.0, delta / jnp.maximum(norm, 1e-12))
+    return jnp.sqrt(w)
+
+
+def _assemble(state: BAState, obs: BAObservations, config: BAConfig):
+    """Residuals -> all LM blocks. Shard-safe: pure segment-sums over the
+    local observation shard."""
+    V = state.C.shape[0]
+    M = state.X.shape[0]
+    w = obs.valid.astype(state.X.dtype)
+
+    res, J_cam, J_pt = batched_residual_jacobians(
+        state.C[obs.cam], state.q[obs.cam], state.X[obs.point], obs.uv_norm
+    )
+    rw = huber_weights(res, config.huber_delta) * w
+    res = res * rw[:, None]
+    J_cam = J_cam * rw[:, None, None]
+    J_pt = J_pt * rw[:, None, None]
+
+    # per-observation blocks
+    UtU = jnp.einsum("oki,okj->oij", J_cam, J_cam)  # (O,7,7)
+    DtD = jnp.einsum("oki,okj->oij", J_pt, J_pt)  # (O,3,3)
+    W = jnp.einsum("oki,okj->oij", J_cam, J_pt)  # (O,7,3)
+    bc_o = jnp.einsum("oki,ok->oi", J_cam, res)  # (O,7)
+    bp_o = jnp.einsum("oki,ok->oi", J_pt, res)  # (O,3)
+
+    # segment sums into camera / point blocks
+    U = jnp.zeros((V, 7, 7), state.X.dtype).at[obs.cam].add(UtU)
+    D = jnp.zeros((M, 3, 3), state.X.dtype).at[obs.point].add(DtD)
+    b_c = jnp.zeros((V, 7), state.X.dtype).at[obs.cam].add(bc_o)
+    b_p = jnp.zeros((M, 3), state.X.dtype).at[obs.point].add(bp_o)
+
+    # camera-point coupling: at most one observation per (view, point)
+    G = jnp.zeros((M, V, 7, 3), state.X.dtype).at[obs.point, obs.cam].add(W)
+
+    cost = jnp.sum(res**2)
+    return U, D, G, b_c, b_p, cost
+
+
+def _reduce_and_solve(
+    U, D, G, b_c, b_p, state: BAState, config: BAConfig,
+    psum: Callable[[Array], Array] | None = None,
+    damping: Array | None = None,
+):
+    """Schur reduction + reduced camera solve + point back-substitution.
+
+    ``psum``: optional collective applied to the reduced (replicated-size)
+    quantities when observations/points are sharded across devices.
+    """
+    V = state.C.shape[0]
+    dtype = state.X.dtype
+    lam = jnp.asarray(config.damping if damping is None else damping, dtype)
+
+    Dtilde = D + lam * jnp.eye(3, dtype=dtype)[None]
+    # only real points get inverted; invalid rows become zero contribution
+    Dinv = inv3x3(Dtilde) * state.pt_valid[:, None, None]
+
+    # S = blockdiag(U) + lam I - G Dinv G^T, flattened to (7V, 7V)
+    S_coupling = jnp.einsum("mvic,mcd,mwjd->vijw", G, Dinv, G)  # (V,7,7,V)
+    b_red = b_c - jnp.einsum("mvic,mcd,md->vi", G, Dinv, b_p)
+
+    if psum is not None:
+        U = psum(U)
+        S_coupling = psum(S_coupling)
+        b_red = psum(b_red)
+
+    S = jnp.zeros((V, 7, V, 7), dtype)
+    S = S.at[jnp.arange(V), :, jnp.arange(V), :].set(
+        U + lam * jnp.eye(7, dtype=dtype)[None]
+    )
+    S = S - jnp.transpose(S_coupling, (0, 1, 3, 2))  # (V,7,V,7)
+    S_flat = S.reshape(V * 7, V * 7)
+    b_flat = b_red.reshape(V * 7)
+
+    # gauge fix / invalid cameras: pin their blocks to identity rows
+    pin = jnp.logical_not(state.cam_valid)
+    if config.fix_first_camera_gauge:
+        pin = pin.at[0].set(True)
+    pin7 = jnp.repeat(pin, 7)
+    eye = jnp.eye(V * 7, dtype=dtype)
+    S_flat = jnp.where(pin7[:, None], eye, S_flat)
+    S_flat = jnp.where(pin7[None, :], jnp.where(eye > 0, S_flat, 0.0), S_flat)
+    b_flat = jnp.where(pin7, 0.0, b_flat)
+
+    dc = jnp.linalg.solve(S_flat, b_flat).reshape(V, 7)
+
+    # back-substitute points: dp_m = Dinv (b_p - sum_v G^T dc_v)
+    Gt_dc = jnp.einsum("mvic,vi->mc", G, dc)
+    dp = jnp.einsum("mcd,md->mc", Dinv, b_p - Gt_dc)
+    return dc, dp
+
+
+def _apply_step(state: BAState, dc: Array, dp: Array) -> BAState:
+    cam_ok = state.cam_valid[:, None].astype(state.C.dtype)
+    pt_ok = state.pt_valid[:, None].astype(state.X.dtype)
+    C = state.C + dc[:, :3] * cam_ok
+    q = quat_normalize(state.q + dc[:, 3:] * cam_ok)
+    X = state.X + dp * pt_ok
+    return BAState(C=C, q=q, X=X, cam_valid=state.cam_valid, pt_valid=state.pt_valid)
+
+
+def ba_iteration(
+    state: BAState,
+    obs: BAObservations,
+    config: BAConfig,
+    damping: Array | None = None,
+    psum: Callable[[Array], Array] | None = None,
+) -> tuple[BAState, Array]:
+    """One fixed-damping LM iteration. Returns (new state, cost before)."""
+    lam = jnp.asarray(config.damping if damping is None else damping, state.X.dtype)
+    U, D, G, b_c, b_p, cost = _assemble(state, obs, config)
+    if psum is not None:
+        cost = psum(cost)
+    dc, dp = _reduce_and_solve(U, D, G, b_c, b_p, state, config, psum, lam)
+    return _apply_step(state, dc, dp), cost
+
+
+def run_bundle_adjustment(
+    state: BAState,
+    obs: BAObservations,
+    config: BAConfig,
+    psum: Callable[[Array], Array] | None = None,
+) -> tuple[BAState, Array]:
+    """``config.iterations`` LM iterations (reference default 3,
+    ``ba_processor.py:24``). Returns final state and per-iteration costs.
+
+    With ``config.adaptive`` (default) this is true trust-region LM: each
+    candidate step is evaluated, rejected steps are rolled back and grow
+    lambda, accepted steps shrink it. With ``adaptive=False`` it reproduces
+    the reference's always-accept fixed-lambda behaviour.
+    """
+    dtype = state.X.dtype
+
+    def body(carry, _):
+        st, lam = carry
+        U, D, G, b_c, b_p, cost = _assemble(st, obs, config)
+        if psum is not None:
+            cost = psum(cost)  # cost must be global for the accept test
+        dc, dp = _reduce_and_solve(U, D, G, b_c, b_p, st, config, psum, lam)
+        cand = _apply_step(st, dc, dp)
+        if not config.adaptive:
+            return (cand, lam), cost
+        new_cost = total_reprojection_cost(cand, obs, psum)
+        accept = new_cost < cost
+        st_next = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(accept, a, b), cand, st
+        )
+        lam_next = jnp.clip(
+            jnp.where(accept, lam * config.damping_down, lam * config.damping_up),
+            config.min_damping,
+            config.max_damping,
+        )
+        return (st_next, lam_next), cost
+
+    init = (state, jnp.asarray(config.damping, dtype))
+    (state, _), costs = jax.lax.scan(body, init, None, length=config.iterations)
+    return state, costs
+
+
+def total_reprojection_cost(
+    state: BAState,
+    obs: BAObservations,
+    psum: Callable[[Array], Array] | None = None,
+) -> Array:
+    """Sum of squared normalised-coordinate residuals over valid
+    observations (the quantity BA minimises)."""
+    res, _, _ = batched_residual_jacobians(
+        state.C[obs.cam], state.q[obs.cam], state.X[obs.point], obs.uv_norm
+    )
+    w = obs.valid.astype(res.dtype)
+    cost = jnp.sum((res * w[:, None]) ** 2)
+    return cost if psum is None else psum(cost)

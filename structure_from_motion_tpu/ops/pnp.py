@@ -91,6 +91,37 @@ def solve_pnp_dlt(X: Array, meas_norm: Array, weights: Array | None = None):
     return R, C
 
 
+def _lm_steps(
+    q: Array,
+    C: Array,
+    X: Array,
+    meas_norm: Array,
+    mask: Array,
+    iterations: int,
+    damping: float,
+):
+    """A few LM iterations on [C, q] over the masked observations."""
+    m = mask.astype(X.dtype)
+    lam = jnp.asarray(damping, dtype=X.dtype)
+    eye = jnp.eye(7, dtype=X.dtype)
+    n = X.shape[0]
+
+    def step(_, state):
+        C, q = state
+        res, J_cam, _ = batched_residual_jacobians(
+            jnp.broadcast_to(C, (n, 3)), jnp.broadcast_to(q, (n, 4)), X, meas_norm
+        )
+        res = res * m[:, None]
+        J = (J_cam * m[:, None, None]).reshape(-1, 7)
+        JtJ = J.T @ J + lam * eye
+        Jte = J.T @ res.reshape(-1)
+        delta = jnp.linalg.solve(JtJ, Jte)
+        return C + delta[:3], quat_normalize(q + delta[3:])
+
+    C, q = jax.lax.fori_loop(0, iterations, step, (C, q))
+    return q, C
+
+
 def linear_pnp_ransac(
     key: Array,
     X: Array,
@@ -131,16 +162,20 @@ def linear_pnp_ransac(
 
     # LO-RANSAC refinement (deliberate improvement over the reference, which
     # returns the best minimal-sample model as-is): iterate {all-inlier
-    # weighted DLT refit -> recompute inliers}. A noisy minimal fit that
-    # catches only part of the consensus set expands to the full set in 2-3
-    # rounds; on the reference pnp fixture + 50% injected gross outliers
-    # this recovers the pose where cv2.solvePnPRansac fails outright.
+    # weighted DLT refit -> short LM polish -> recompute inliers}. A noisy
+    # minimal fit that catches only part of the consensus set expands to the
+    # full set in 2-3 rounds; the LM polish matters — on noisy maps a linear
+    # DLT refit alone plateaus far below the true consensus (observed on the
+    # upenn sequence: 6 vs 86 recoverable inliers at frame 4).
     def lo_round(_, state):
         q, C, inliers = state
         R_refit, C_refit = solve_pnp_dlt(
             X, meas_norm, weights=inliers.astype(X.dtype)
         )
         q_refit = rotation_to_quat(R_refit)
+        q_refit, C_refit = _lm_steps(
+            q_refit, C_refit, X, meas_norm, inliers, iterations=10, damping=1e-3
+        )
         res_pix, _ = pixel_residuals(K, C_refit, q_refit, X, uv)
         new_inliers = jnp.logical_and(
             jnp.linalg.norm(res_pix, axis=-1) < config.inlier_threshold, mask
@@ -180,32 +215,10 @@ def refine_pnp(
     zero residual/Jacobian rows.
     """
     meas_norm = normalized_camera_coords(K, uv)
-    m = mask.astype(X.dtype)
-    lam = jnp.asarray(config.damping, dtype=X.dtype)
-    eye = jnp.eye(7, dtype=X.dtype)
-
-    def step(_, state):
-        C, q = state
-        n = X.shape[0]
-        res, J_cam, _ = batched_residual_jacobians(
-            jnp.broadcast_to(C, (n, 3)),
-            jnp.broadcast_to(q, (n, 4)),
-            X,
-            meas_norm,
-        )
-        res = res * m[:, None]
-        J = J_cam * m[:, None, None]
-        Jf = J.reshape(-1, 7)  # (2N, 7)
-        rf = res.reshape(-1)
-        JtJ = Jf.T @ Jf + lam * eye
-        Jte = Jf.T @ rf
-        delta = jnp.linalg.solve(JtJ, Jte)
-        C = C + delta[:3]
-        q = quat_normalize(q + delta[3:])
-        return C, q
-
-    q0 = rotation_to_quat(R0)
-    C, q = jax.lax.fori_loop(0, config.iterations, step, (C0, q0))
+    q, C = _lm_steps(
+        rotation_to_quat(R0), C0, X, meas_norm, mask,
+        iterations=config.iterations, damping=config.damping,
+    )
     return quat_to_rotation(q), C
 
 

@@ -1,0 +1,52 @@
+"""Checkpoint / resume for the reconstruction state.
+
+The reference's only persistence is pickled per-image keypoint caches
+(``view_processor.py:81-98``) and golden-result pickles. Here the ENTIRE
+on-device reconstruction (track tables, map, observations, poses) is one
+pytree, so checkpointing is a single savez/orbax round trip — resume
+mid-sequence is exact.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from structure_from_motion_tpu.models.tracks import SfMState
+
+
+def save_state(path: str, state: SfMState, frame: int) -> None:
+    """Write the full pipeline state to one ``.npz`` file."""
+    arrays = {f: np.asarray(getattr(state, f)) for f in state._fields}
+    arrays["__frame"] = np.asarray(frame)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, **arrays)
+    os.replace(tmp, path)
+
+
+def load_state(path: str) -> tuple[SfMState, int]:
+    """Load a state written by :func:`save_state`."""
+    import jax.numpy as jnp
+
+    with np.load(path) as data:
+        frame = int(data["__frame"])
+        fields = {f: jnp.asarray(data[f]) for f in SfMState._fields}
+    return SfMState(**fields), frame
+
+
+def save_features_cache(path: str, xy, desc, valid) -> None:
+    """Per-image feature cache (the reference's ``write_keys`` concept,
+    ``view_processor.py:81-98``, without pickle's fragility)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(
+            f, xy=np.asarray(xy), desc=np.asarray(desc), valid=np.asarray(valid)
+        )
+    os.replace(tmp, path)
+
+
+def load_features_cache(path: str):
+    with np.load(path) as d:
+        return d["xy"], d["desc"], d["valid"]

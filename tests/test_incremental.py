@@ -1,0 +1,125 @@
+"""End-to-end incremental SfM on a synthetic sequence with perfect
+correspondences: the recovered trajectory must match ground truth up to the
+global similarity gauge (scale fixed by the unit bootstrap baseline)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.spatial.transform import Rotation as ScipyRotation
+
+from structure_from_motion_tpu.config import (
+    BAConfig,
+    CapacityConfig,
+    FrontendConfig,
+    LMConfig,
+    MatcherConfig,
+    PipelineConfig,
+    RansacConfig,
+)
+from structure_from_motion_tpu.models import IncrementalSfM
+
+
+def umeyama_ate(est, gt):
+    mu_s, mu_d = est.mean(0), gt.mean(0)
+    sc, dc = est - mu_s, gt - mu_d
+    cov = dc.T @ sc / len(est)
+    U, S, Vt = np.linalg.svd(cov)
+    d = np.sign(np.linalg.det(U @ Vt))
+    D = np.diag([1.0, 1.0, d])
+    R = U @ D @ Vt
+    var = (sc**2).sum() / len(est)
+    s = np.trace(np.diag(S) @ D) / var
+    aligned = (s * (R @ est.T)).T + (mu_d - s * R @ mu_s)
+    return float(np.sqrt(((aligned - gt) ** 2).sum(1).mean()))
+
+
+def synthetic_sequence(n_views=5, n_points=300, kp_cap=512, seed=0, noise=0.0):
+    """Views on an arc looking at a point cloud; every point visible in
+    every view; descriptors are unique random codes shared across views."""
+    rng = np.random.default_rng(seed)
+    K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
+    X = rng.uniform([-4, -3, 10], [4, 3, 20], size=(n_points, 3))
+    desc_codes = rng.normal(size=(n_points, 128)).astype(np.float32) * 10
+
+    frames = []
+    C_gt, R_gt = [], []
+    for v in range(n_views):
+        C = np.array([v * 1.0, 0.05 * v**2, 0.3 * v])
+        R = ScipyRotation.from_rotvec([0.0, -0.06 * v, 0.0]).as_matrix()
+        C_gt.append(C)
+        R_gt.append(R)
+        Xc = (R.T @ (X - C).T).T
+        uvn = Xc[:, :2] / Xc[:, 2:3]
+        uv = uvn * [K[0, 0], K[1, 1]] + [K[0, 2], K[1, 2]]
+        uv = uv + rng.normal(size=uv.shape) * noise
+        # fill fixed-capacity buffers (shuffled order per view)
+        perm = rng.permutation(n_points)
+        xy = np.zeros((kp_cap, 2), np.float32)
+        d = np.zeros((kp_cap, 128), np.float32)
+        valid = np.zeros(kp_cap, bool)
+        xy[:n_points] = uv[perm]
+        d[:n_points] = desc_codes[perm]
+        valid[:n_points] = True
+        frames.append((xy, d, valid))
+    return K, frames, np.stack(C_gt), np.stack(R_gt), X
+
+
+@pytest.fixture(scope="module")
+def pipeline_config():
+    return PipelineConfig(
+        frontend=FrontendConfig(max_keypoints=512),
+        matcher=MatcherConfig(ratio=0.9),
+        fundamental_ransac=RansacConfig(inlier_threshold=2.0, iteration=256),
+        pnp_ransac=RansacConfig(inlier_threshold=8.0, sample_num=6, iteration=512),
+        pnp_lm=LMConfig(damping=5.0, iterations=100),
+        triangulation_lm=LMConfig(damping=5.0, iterations=50),
+        ba=BAConfig(iterations=5, damping=5.0),
+        capacity=CapacityConfig(
+            max_views=8, max_keypoints=512, max_points=4096, max_observations=16384
+        ),
+    )
+
+
+def test_incremental_recovers_trajectory(pipeline_config):
+    K, frames, C_gt, R_gt, X_gt = synthetic_sequence()
+    engine = IncrementalSfM(pipeline_config, K, frontend="precomputed")
+    for xy, d, valid in frames:
+        info = engine.process_features(xy, d, valid)
+    locs, rots = engine.poses()
+    assert len(locs) == 5
+    ate = umeyama_ate(locs, C_gt)
+    # noise-free: trajectory essentially exact (f32 end-to-end; the
+    # ~4-unit trajectory recovers to a few mm)
+    assert ate < 0.03, (ate, locs, C_gt)
+    # rotations: after gauge alignment each R should match ground truth
+    for v in range(5):
+        dR = ScipyRotation.from_matrix(rots[v] @ R_gt[v].T).magnitude()
+        dR0 = ScipyRotation.from_matrix(rots[0] @ R_gt[0].T).magnitude()
+        assert np.degrees(dR - dR0) < 1.0
+    # map points: most of the cloud reconstructed, scaled by the gauge
+    assert len(engine.map_points()) > 250
+    assert info["reprojection_px"] < 0.5
+
+
+def test_incremental_with_pixel_noise(pipeline_config):
+    K, frames, C_gt, R_gt, X_gt = synthetic_sequence(seed=1, noise=0.5)
+    engine = IncrementalSfM(pipeline_config, K, frontend="precomputed")
+    for xy, d, valid in frames:
+        info = engine.process_features(xy, d, valid)
+    locs, _ = engine.poses()
+    ate = umeyama_ate(locs, C_gt)
+    assert ate < 0.05, ate  # 0.5 px noise, ~1-unit baselines
+    assert info["reprojection_px"] < 2.0
+
+
+def test_window_cap_stops_processing(pipeline_config):
+    import dataclasses
+
+    K, frames, *_ = synthetic_sequence(n_views=5)
+    engine = IncrementalSfM(
+        dataclasses.replace(pipeline_config, window_size=3), K, frontend="precomputed"
+    )
+    infos = [engine.process_features(*f) for f in frames]
+    assert infos[3].get("skipped") and infos[4].get("skipped")
+    locs, _ = engine.poses()
+    assert len(locs) == 3
