@@ -66,6 +66,7 @@ from structure_from_motion_tpu.utils.rotations import (
 )
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
 def _match_stage(state: SfMState, v: Array, config: PipelineConfig) -> SfMState:
     """Match view v against every prior view (reference ``add_new_view``,
     ``key_tracker.py:97-129``: the all-pairs O(V^2) policy). Sequential
@@ -91,6 +92,7 @@ def _match_stage(state: SfMState, v: Array, config: PipelineConfig) -> SfMState:
     return jax.lax.fori_loop(0, V, write, state)
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
 def _bootstrap_stage(state: SfMState, key: Array, config: PipelineConfig) -> tuple[SfMState, dict]:
     """Two-view bootstrap (reference ``ba_processor.py:63-135``)."""
     ref_keys, que_keys, ref_xy, que_xy, valid = tracks.matched_pair_arrays(state, 0, 1)
@@ -141,6 +143,7 @@ def _bootstrap_stage(state: SfMState, key: Array, config: PipelineConfig) -> tup
     return state, info
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
 def _localize_stage(
     state: SfMState, v: Array, key: Array, config: PipelineConfig
 ) -> tuple[SfMState, dict]:
@@ -267,6 +270,7 @@ def _triangulate_pair(
     return state
 
 
+@functools.partial(jax.jit, static_argnames=("config",))
 def _ba_stage(state: SfMState, config: PipelineConfig) -> tuple[SfMState, Array]:
     """Global bundle adjustment over all valid views/points/observations."""
     ba_state = BAState(
@@ -304,6 +308,10 @@ def pipeline_reprojection_error(state: SfMState) -> Array:
     return jnp.sum(err) / jnp.maximum(jnp.sum(w), 1.0)
 
 
+_set_feats_jit = jax.jit(tracks.set_view_features)
+_reproj_jit = jax.jit(pipeline_reprojection_error)
+
+
 class IncrementalSfM:
     """Host-side orchestrator. Feed frames; poses/map accumulate on device.
 
@@ -324,15 +332,17 @@ class IncrementalSfM:
         self._frame = 0
         cfg = config
 
-        self._jit_match = jax.jit(lambda s, v: _match_stage(s, v, cfg))
-        self._jit_bootstrap = jax.jit(lambda s, k: _bootstrap_stage(s, k, cfg))
-        self._jit_localize = jax.jit(lambda s, v, k: _localize_stage(s, v, k, cfg))
-        self._jit_ba = jax.jit(lambda s: _ba_stage(s, cfg))
-        self._jit_detect = jax.jit(
-            lambda img: detect_and_describe(img, cfg.frontend)
-        )
-        self._jit_set_feats = jax.jit(tracks.set_view_features)
-        self._jit_reproj = jax.jit(pipeline_reprojection_error)
+        # All stages are module-level jits with the (hashable, frozen)
+        # config as a static argument, so the compile cache is shared
+        # across engine instances — constructing a new IncrementalSfM
+        # never recompiles.
+        self._jit_match = functools.partial(_match_stage, config=cfg)
+        self._jit_bootstrap = functools.partial(_bootstrap_stage, config=cfg)
+        self._jit_localize = functools.partial(_localize_stage, config=cfg)
+        self._jit_ba = functools.partial(_ba_stage, config=cfg)
+        self._jit_detect = functools.partial(detect_and_describe, cfg=cfg.frontend)
+        self._jit_set_feats = _set_feats_jit
+        self._jit_reproj = _reproj_jit
 
     # -- feeding frames ----------------------------------------------------
     def process_image(self, img) -> dict:
