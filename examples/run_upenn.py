@@ -63,7 +63,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frontend", choices=["native", "sift"], default="sift")
     ap.add_argument("--device", choices=["cpu", "tpu"], default="cpu")
-    ap.add_argument("--max-kp", type=int, default=1024)
+    ap.add_argument("--max-kp", type=int, default=2048)
     ap.add_argument("--frames", type=int, default=6)
     ap.add_argument("--dataset", default="/root/reference/test_dataset/upenn")
     args = ap.parse_args()

@@ -67,13 +67,21 @@ from structure_from_motion_tpu.utils.rotations import (
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _match_stage(state: SfMState, v: Array, config: PipelineConfig) -> SfMState:
+def _match_stage(
+    state: SfMState, v: Array, key: Array, config: PipelineConfig
+) -> SfMState:
     """Match view v against every prior view (reference ``add_new_view``,
     ``key_tracker.py:97-129``: the all-pairs O(V^2) policy). Sequential
     ``lax.map`` over the view axis keeps peak memory at one (K, K)
-    distance matrix."""
+    distance matrix.
+
+    With ``config.matcher.use_fundamental_gate`` each pair's matches are
+    additionally filtered by a fundamental-matrix RANSAC inlier test
+    (reference ``key_tracker.py:294-299``), which strictly shrinks the
+    match set."""
     desc_v = state.kp_desc[v]
     valid_v = state.kp_valid[v]
+    xy_v = state.kp_xy[v]
     V = state.kp_desc.shape[0]
 
     def per_view(u):
@@ -82,7 +90,21 @@ def _match_stage(state: SfMState, v: Array, config: PipelineConfig) -> SfMState:
             jnp.logical_and(state.kp_valid[u], u < v), valid_v,
             config.matcher,
         )
-        return res.target, res.valid
+        valid = res.valid
+        if config.matcher.use_fundamental_gate:
+            que_xy = xy_v[jnp.maximum(res.target, 0)]
+            gate = find_fundamental(
+                jax.random.fold_in(key, u),
+                state.kp_xy[u],
+                que_xy,
+                valid,
+                config.matcher.gate_ransac,
+            )
+            # only gate when enough matches exist for a meaningful model
+            valid = jnp.where(
+                jnp.sum(valid) >= 16, jnp.logical_and(valid, gate.inliers), valid
+            )
+        return res.target, valid
 
     targets, valids = jax.lax.map(per_view, jnp.arange(V))
 
@@ -363,9 +385,9 @@ class IncrementalSfM:
             jnp.asarray(desc, dtype),
             jnp.asarray(valid, bool),
         )
-        self.state = self._jit_match(self.state, jnp.asarray(v))
+        self._key, sub_match, sub = jax.random.split(self._key, 3)
+        self.state = self._jit_match(self.state, jnp.asarray(v), sub_match)
         info: dict[str, Any] = {"frame": v}
-        self._key, sub = jax.random.split(self._key)
         if v == 0:
             self.state = tracks.set_camera(
                 self.state, 0, jnp.zeros(3, dtype), jnp.asarray([1.0, 0, 0, 0], dtype)

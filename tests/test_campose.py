@@ -19,26 +19,38 @@ def test_decompose_essential_matches_fixtures(opencv_fixtures):
     C = np.asarray(cands.C)
     # Truth rotations are stored world->cam; the reference (and we) return
     # cam-to-world, so compare against the transpose.
+    t = np.asarray(cands.t)
     r1_truth = opencv_fixtures["ess_r1"].T
     r2_truth = opencv_fixtures["ess_r2"].T
     c1_truth = opencv_fixtures["ess_c1"].ravel()
     c2_truth = opencv_fixtures["ess_c2"].ravel()
     assert np.abs(R[0] - r1_truth).sum() < 1e-2  # candidates 0,1 share Ra
     assert np.abs(R[2] - r2_truth).sum() < 1e-2  # candidates 2,3 share Rb
-    assert np.abs(C[0] - c1_truth).sum() < 1e-2
-    assert np.abs(C[1] - c2_truth).sum() < 1e-2
+    # The fixture "c" vectors are OpenCV's unit TRANSLATIONS (+-u3). The
+    # reference misuses them as camera centers (campose_processor.py:69-70);
+    # we expose them as .t and derive the true centers C = -R t.
+    assert np.abs(t[0] - c1_truth).sum() < 1e-2
+    assert np.abs(t[1] - c2_truth).sum() < 1e-2
+    np.testing.assert_allclose(C, -np.einsum("cij,cj->ci", R, t), atol=1e-12)
     # orthonormal, det +1
     for i in range(4):
         np.testing.assert_allclose(R[i] @ R[i].T, np.eye(3), atol=1e-10)
         np.testing.assert_allclose(np.linalg.det(R[i]), 1.0, atol=1e-10)
-    # centers are +-unit epipole
-    np.testing.assert_allclose(np.linalg.norm(C, axis=1), 1.0, atol=1e-10)
+    # centers/translations are unit (|det R| = 1 preserves the norm)
+    np.testing.assert_allclose(np.linalg.norm(C, axis=1), 1.0, atol=1e-6)
     np.testing.assert_allclose(C[0], -C[1], atol=1e-12)
 
 
 def test_disambiguation_picks_r1c2(opencv_fixtures):
-    """The fixture scene's true pose is candidate 1 (Ra, C2) — the reference
-    asserts best_idx == 1 (campose_processor.py:937-945)."""
+    """The fixture scene's true pose is candidate 1 (Ra, -t) — the reference
+    asserts best_idx == 1 (campose_processor.py:937-945). Each candidate's
+    points are triangulated with OUR projections (the fixture's *_result
+    arrays were triangulated under the reference's misplaced centers and are
+    only consistent with that convention)."""
+    import jax
+
+    from structure_from_motion_tpu.ops.triangulation import linear_triangulate
+
     E = jnp.asarray(opencv_fixtures["ess_ess_mat"])
     K = jnp.asarray(opencv_fixtures["ess_intrinsic_mat"])
     cands = decompose_essential(E)
@@ -48,23 +60,22 @@ def test_disambiguation_picks_r1c2(opencv_fixtures):
     ref_c = opencv_fixtures["ess_self_c"].ravel()
     P_ref = np.asarray(K) @ np.hstack([ref_r.T, (-ref_r.T @ ref_c).reshape(3, 1)])
 
-    X_cands = []
-    for name in (
-        "ess_points_3d_r1t1_result",
-        "ess_points_3d_r1t2_result",
-        "ess_points_3d_r2t1_result",
-        "ess_points_3d_r2t2_result",
-    ):
-        arr = opencv_fixtures[name]  # (N, 4, 1) homogeneous
-        X_cands.append(arr.reshape(arr.shape[0], 4))
-    X_cands = jnp.asarray(np.stack(X_cands, axis=0))  # (4, N, 4)
-    mask = jnp.ones(X_cands.shape[1], dtype=bool)
+    pt1 = opencv_fixtures["ess_pixel_pt1"].reshape(-1, 2)
+    pt2 = opencv_fixtures["ess_pixel_pt2"].reshape(-1, 2)
+    uv = jnp.asarray(np.stack([pt1, pt2], axis=1))  # (N, 2, 2)
+    mask = jnp.ones(uv.shape[0], dtype=bool)
+    obs_mask = jnp.stack([mask, mask], axis=1)
+    X_cands = jax.vmap(
+        lambda P2: linear_triangulate(
+            jnp.stack([jnp.asarray(P_ref), P2]), uv, obs_mask
+        )
+    )(P_cands)  # (4, N, 4)
 
     best, counts, valid = disambiguate_poses(jnp.asarray(P_ref), P_cands, X_cands, mask)
     assert int(best) == 1, (int(best), np.asarray(counts))
     # the winning candidate must dominate
     c = np.asarray(counts)
-    assert c[1] == c.max() and c[1] > 0.5 * X_cands.shape[1]
+    assert c[1] == c.max() and c[1] > 0.5 * uv.shape[0]
 
 
 def test_cheirality_mask_synthetic():

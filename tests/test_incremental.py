@@ -112,6 +112,43 @@ def test_incremental_with_pixel_noise(pipeline_config):
     assert info["reprojection_px"] < 2.0
 
 
+def test_fundamental_gate_shrinks_matches(pipeline_config):
+    """Mirror of the reference property test: the F-gated tracker keeps no
+    more matches than the ungated one (key_tracker.py:411-423), with some
+    planted outlier correspondences actually removed."""
+    import dataclasses
+
+    import numpy as np
+
+    K, frames, *_ = synthetic_sequence(n_views=2, n_points=200, seed=3, noise=0.2)
+    # corrupt 30 of view 1's keypoint positions so they violate epipolar
+    # geometry while keeping identical descriptors (forced wrong matches)
+    xy1, d1, v1 = frames[1]
+    rng = np.random.default_rng(0)
+    bad = rng.choice(200, size=30, replace=False)
+    xy1 = xy1.copy()
+    xy1[bad] += rng.uniform(40, 120, size=(30, 2)).astype(np.float32)
+    frames[1] = (xy1, d1, v1)
+
+    def run(gated: bool):
+        cfg = dataclasses.replace(
+            pipeline_config,
+            matcher=dataclasses.replace(
+                pipeline_config.matcher, use_fundamental_gate=gated
+            ),
+        )
+        engine = IncrementalSfM(cfg, K, frontend="precomputed")
+        for f in frames:
+            info = engine.process_features(*f)
+        return int(info["matches"]), engine
+
+    n_plain, _ = run(False)
+    n_gated, engine = run(True)
+    assert n_gated <= n_plain
+    assert n_gated <= n_plain - 20  # most planted outliers removed
+    assert n_gated > 100  # but the true matches survive
+
+
 def test_window_cap_stops_processing(pipeline_config):
     import dataclasses
 
