@@ -85,7 +85,6 @@ def main():
 
     cfg = PipelineConfig(
         frontend=FrontendConfig(max_keypoints=args.max_kp),
-        matcher=MatcherConfig(ratio=0.7),
         capacity=CapacityConfig(
             max_views=8, max_keypoints=args.max_kp, max_points=8192,
             max_observations=32768,

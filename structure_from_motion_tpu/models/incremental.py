@@ -348,7 +348,9 @@ class IncrementalSfM:
         if config.frontend.max_keypoints != config.capacity.max_keypoints:
             raise ValueError("frontend.max_keypoints must equal capacity.max_keypoints")
         self.config = config
-        self.state = tracks.init_state(config.capacity, K)
+        self.state = tracks.init_state(
+            config.capacity, K, desc_dim=config.frontend.descriptor_dim
+        )
         self.frontend = frontend
         self._key = jax.random.key(seed)
         self._frame = 0

@@ -291,13 +291,154 @@ def _orientation_and_descriptor(
     return angle, desc
 
 
+# ---------------------------------------------------------------------------
+# Harris + rotated-BRIEF: the binary-descriptor family (the reference's "orb"
+# detector option, view_processor.py:128-137). Descriptors are +-1 float
+# codes so Hamming distance is one MXU matmul: ham = (D - a.b) / 2.
+# ---------------------------------------------------------------------------
+
+
+def _harris_response(img: Array, k: float = 0.04, sigma: float = 1.5) -> Array:
+    """Harris corner response map of a (H, W) image."""
+    ix = 0.5 * (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1))
+    iy = 0.5 * (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0))
+    ixx = _blur(ix * ix, sigma)
+    iyy = _blur(iy * iy, sigma)
+    ixy = _blur(ix * iy, sigma)
+    det = ixx * iyy - ixy * ixy
+    tr = ixx + iyy
+    return det - k * tr * tr
+
+
+def _octave_harris(img: Array, cfg: FrontendConfig, per_octave_k: int):
+    """Harris corners of one octave image: NMS + border mask + top-k.
+
+    Returns (x, y, response, valid), octave pixel coords.
+    """
+    h, w = img.shape
+    resp = _harris_response(img)
+    nms = jax.lax.reduce_window(
+        resp, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    border = 20  # BRIEF patch support
+    bm = jnp.zeros((h, w), dtype=bool).at[border:-border, border:-border].set(True)
+    # positive response = corner (negative = edge); top-k does the rest —
+    # an absolute threshold would be content/scale dependent
+    is_peak = (resp >= nms) & (resp > 0.0) & bm
+    flat = jnp.where(is_peak, resp, 0.0).reshape(-1)
+    k = min(per_octave_k, flat.shape[0])
+    top_resp, top_idx = jax.lax.top_k(flat, k)
+    yy = (top_idx // w).astype(jnp.float32)
+    xx = (top_idx % w).astype(jnp.float32)
+    ok = top_resp > 0.0
+    if k < per_octave_k:
+        pad = per_octave_k - k
+        xx = jnp.pad(xx, (0, pad))
+        yy = jnp.pad(yy, (0, pad))
+        top_resp = jnp.pad(top_resp, (0, pad))
+        ok = jnp.pad(ok, (0, pad))
+    return xx, yy, top_resp, ok
+
+
+def _intensity_centroid_angle(img: Array, x: Array, y: Array, radius: float = 7.0) -> Array:
+    """ORB's orientation: arctan2 of the patch intensity centroid moments."""
+    G = 15
+    lin = jnp.arange(G, dtype=jnp.float32) - (G - 1) / 2.0
+    gy, gx = jnp.meshgrid(lin, lin, indexing="ij")
+    # circular mask like ORB's
+    circ = ((gx**2 + gy**2) <= ((G - 1) / 2.0) ** 2).astype(jnp.float32)
+    sx = x[:, None] + (gx.reshape(-1) * (2 * radius / (G - 1)))[None, :]
+    sy = y[:, None] + (gy.reshape(-1) * (2 * radius / (G - 1)))[None, :]
+    vals = _bilinear_sample(img, sx, sy) * circ.reshape(-1)[None, :]
+    m10 = jnp.sum(vals * gx.reshape(-1)[None, :], axis=1)
+    m01 = jnp.sum(vals * gy.reshape(-1)[None, :], axis=1)
+    return jnp.arctan2(m01, m10)
+
+
+def _brief_pattern(n_bits: int, patch: float, seed: int = 7):
+    """Static rBRIEF test pattern: ``n_bits`` point pairs ~ N(0, (patch/5)^2),
+    clipped to the patch. Computed with numpy at trace time (static consts)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(scale=patch / 5.0, size=(n_bits, 4)).astype(np.float32)
+    pts = np.clip(pts, -patch / 2.0, patch / 2.0)
+    return jnp.asarray(pts)  # (n_bits, 4) = (px, py, qx, qy)
+
+
+def _brief_describe(
+    img: Array, x: Array, y: Array, angle: Array, valid: Array, n_bits: int,
+    patch: float = 31.0,
+) -> Array:
+    """Steered-BRIEF +-1 codes: bit_i = sign(I(R p_i) - I(R q_i))."""
+    pat = _brief_pattern(n_bits, patch)
+    ca, sa = jnp.cos(angle)[:, None], jnp.sin(angle)[:, None]
+    px = ca * pat[None, :, 0] - sa * pat[None, :, 1] + x[:, None]
+    py = sa * pat[None, :, 0] + ca * pat[None, :, 1] + y[:, None]
+    qx = ca * pat[None, :, 2] - sa * pat[None, :, 3] + x[:, None]
+    qy = sa * pat[None, :, 2] + ca * pat[None, :, 3] + y[:, None]
+    ip = _bilinear_sample(img, px, py)
+    iq = _bilinear_sample(img, qx, qy)
+    bits = jnp.where(ip > iq, 1.0, -1.0)
+    return jnp.where(valid[:, None], bits, 0.0)
+
+
+def _detect_harris_brief(img: Array, cfg: FrontendConfig):
+    """Harris + steered-BRIEF over a dyadic pyramid; global top-k merge."""
+    per_octave_k = cfg.max_keypoints
+    all_x, all_y, all_resp, all_ok, all_angle, all_desc = [], [], [], [], [], []
+    level = _blur(img, 1.0)
+    for o in range(cfg.num_octaves):
+        x, y, resp, ok = _octave_harris(level, cfg, per_octave_k)
+        angle = _intensity_centroid_angle(level, x, y)
+        desc = _brief_describe(level, x, y, angle, ok, cfg.descriptor_dim)
+        scale_fr = 2.0**o
+        all_x.append(x * scale_fr)
+        all_y.append(y * scale_fr)
+        all_resp.append(resp)
+        all_ok.append(ok)
+        all_angle.append(angle)
+        all_desc.append(desc)
+        level = _blur(_downsample2(level), 1.0)
+
+    x = jnp.concatenate(all_x)
+    y = jnp.concatenate(all_y)
+    resp = jnp.concatenate(all_resp)
+    ok = jnp.concatenate(all_ok)
+    angle = jnp.concatenate(all_angle)
+    desc = jnp.concatenate(all_desc, axis=0)
+    score = jnp.where(ok, resp, -1.0)
+    top_score, top_idx = jax.lax.top_k(score, cfg.max_keypoints)
+    kps = Keypoints(
+        xy=jnp.stack([x[top_idx], y[top_idx]], axis=1),
+        scale=jnp.ones((cfg.max_keypoints,), jnp.float32),
+        angle=angle[top_idx],
+        response=resp[top_idx],
+        mask=top_score > 0.0,
+    )
+    return kps, desc[top_idx]
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def detect_and_describe(img: Array, cfg: FrontendConfig):
-    """(H, W) float image -> (Keypoints, (max_keypoints, 128) descriptors).
+    """(H, W) float image -> (Keypoints, (max_keypoints, D) descriptors).
 
-    The whole frontend is one jitted program: pyramid, DoG extrema,
+    ``cfg.detector`` picks the family — the TPU analogue of the reference's
+    detector factory (``view_processor.py:128-137``):
+
+    * ``"dog"``: DoG scale-space extrema + SIFT-like 128-d float descriptor.
+    * ``"harris"``: Harris corners + steered-BRIEF +-1 binary codes
+      (match with ``MatcherConfig.metric="hamming"``) — the ORB analogue.
+
+    The whole frontend is one jitted program: pyramid, extrema/corners,
     per-octave top-k, orientation, descriptors, global top-k merge.
     """
+    if cfg.detector == "harris":
+        img = img.astype(jnp.float32)
+        img = img / jnp.maximum(jnp.max(img), 1e-6)
+        return _detect_harris_brief(img, cfg)
+    if cfg.detector != "dog":
+        raise ValueError(f"unknown detector {cfg.detector!r}")
     img = img.astype(jnp.float32)
     img = img / jnp.maximum(jnp.max(img), 1e-6)
 

@@ -56,6 +56,20 @@ def squared_distances(
     return d2
 
 
+def hamming_distances(
+    desc_ref: Array, desc_que: Array, mask_ref: Array, mask_que: Array
+) -> Array:
+    """Masked (Nr, Nq) Hamming distances of +-1 binary codes; one MXU matmul:
+    ham(a, b) = (D - a.b) / 2 for a, b in {-1, +1}^D (the reference's
+    Hamming BFMatcher branch, ``key_tracker.py:82-85``)."""
+    D = desc_ref.shape[1]
+    dot = jnp.matmul(desc_ref, desc_que.T, preferred_element_type=jnp.float32)
+    ham = 0.5 * (D - dot)
+    ham = jnp.where(mask_que[None, :], ham, _INF)
+    ham = jnp.where(mask_ref[:, None], ham, _INF)
+    return ham
+
+
 def match_descriptors(
     desc_ref: Array,
     desc_que: Array,
@@ -71,12 +85,20 @@ def match_descriptors(
     key to be its match's nearest neighbour. Finally each que key may be
     claimed by at most one ref key — the one at minimum distance (the
     reference's trainIdx dedup, ``key_tracker.py:276-291``).
+    ``config.metric`` picks L2 (float descriptors) or Hamming (+-1 codes).
     """
-    d2 = squared_distances(desc_ref, desc_que, mask_ref, mask_que)
-    neg_top2, idx_top2 = jax.lax.top_k(-d2, 2)
-    d1 = jnp.sqrt(jnp.maximum(-neg_top2[:, 0], 0.0))
-    d2nd = jnp.sqrt(jnp.maximum(-neg_top2[:, 1], 0.0))
-    j = idx_top2[:, 0]
+    if config.metric == "hamming":
+        d2 = hamming_distances(desc_ref, desc_que, mask_ref, mask_que)
+        neg_top2, idx_top2 = jax.lax.top_k(-d2, 2)
+        d1 = jnp.maximum(-neg_top2[:, 0], 0.0)
+        d2nd = jnp.maximum(-neg_top2[:, 1], 0.0)
+        j = idx_top2[:, 0]
+    else:
+        d2 = squared_distances(desc_ref, desc_que, mask_ref, mask_que)
+        neg_top2, idx_top2 = jax.lax.top_k(-d2, 2)
+        d1 = jnp.sqrt(jnp.maximum(-neg_top2[:, 0], 0.0))
+        d2nd = jnp.sqrt(jnp.maximum(-neg_top2[:, 1], 0.0))
+        j = idx_top2[:, 0]
 
     valid = jnp.logical_and(mask_ref, d1 < config.ratio * d2nd)
 

@@ -97,17 +97,21 @@ def sharded_bundle_adjustment(
     (state, costs) as the single-device path — bitwise identical math up to
     reduction order.
     """
-    axis = mesh.axis_names[0]
+    # all mesh axes gang up on the point/observation axis: a 2-D
+    # (hosts, chips) mesh shards points over hosts x chips and the psum of
+    # the reduced camera system rides ICI within a host and DCN across
+    # hosts — one collective either way
+    axes = tuple(mesh.axis_names)
     n = mesh.devices.size
 
     def local_ba(C, q, cam_valid, X, pt_valid, o_cam, o_pt, o_uv, o_valid):
         st = BAState(C=C, q=q, X=X, cam_valid=cam_valid, pt_valid=pt_valid)
         ob = BAObservations(cam=o_cam, point=o_pt, uv_norm=o_uv, valid=o_valid)
-        psum = lambda x: jax.lax.psum(x, axis)
+        psum = lambda x: jax.lax.psum(x, axes)
         out, costs = run_bundle_adjustment(st, ob, config, psum=psum)
         return out.C, out.q, out.X, costs
 
-    shard = P(axis)
+    shard = P(axes)
     rep = P()
     fn = jax.shard_map(
         local_ba,

@@ -93,3 +93,54 @@ def test_sharded_jit_compiles_once_and_runs():
     )(noisy, part)
     assert np.isfinite(np.asarray(costs)).all()
     assert float(costs[-1]) < float(costs[0])
+
+
+def test_sharded_2d_mesh_hosts_by_chips():
+    """Multi-host layout: a (2 hosts, 4 chips) 2-D mesh must reproduce the
+    single-device optimum — the psum of the reduced camera system spans
+    both mesh axes (ICI within a host row, DCN across rows)."""
+    from structure_from_motion_tpu.parallel import make_mesh_2d
+
+    clean, obs, K = make_scene(cap_m=128, cap_o=1024)
+    noisy = perturb(clean, seed=3)
+    cfg = BAConfig(iterations=8, damping=5.0, fix_first_camera_gauge=True)
+    out_single, costs_single = run_bundle_adjustment(noisy, obs, cfg)
+
+    mesh = make_mesh_2d(2, 4)
+    assert mesh.devices.shape == (2, 4)
+    part = partition_observations(
+        obs, num_points=128, num_shards=8, per_shard_capacity=128
+    )
+    out_shard, costs_shard = sharded_bundle_adjustment(noisy, part, cfg, mesh)
+    np.testing.assert_allclose(
+        np.asarray(costs_shard), np.asarray(costs_single), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_shard.C), np.asarray(out_single.C), atol=1e-8
+    )
+
+
+def test_sharded_pcg_matches_single_device():
+    """Sharded matrix-free PCG (the large-V path) against the single-device
+    dense solve."""
+    clean, obs, K = make_scene(cap_m=128, cap_o=1024)
+    noisy = perturb(clean, seed=5)
+    dense_cfg = BAConfig(iterations=10, damping=5.0, fix_first_camera_gauge=True)
+    pcg_cfg = BAConfig(
+        iterations=10,
+        damping=5.0,
+        fix_first_camera_gauge=True,
+        pcg_fallback_cameras=1,
+        pcg_iterations=128,
+    )
+    out_single, _ = run_bundle_adjustment(noisy, obs, dense_cfg)
+
+    mesh = make_mesh(8)
+    part = partition_observations(obs, num_points=128, num_shards=8, per_shard_capacity=128)
+    out_shard, _ = sharded_bundle_adjustment(noisy, part, pcg_cfg, mesh)
+    np.testing.assert_allclose(
+        np.asarray(out_shard.C)[:4], np.asarray(out_single.C)[:4], atol=5e-3
+    )
+    assert float(total_reprojection_cost(out_shard, obs)) < 1e-3 * float(
+        total_reprojection_cost(noisy, obs)
+    )

@@ -85,3 +85,50 @@ def test_blank_image_yields_no_keypoints():
     kps, desc = detect_and_describe(blank, CFG)
     assert int(kps.mask.sum()) == 0
     assert bool(jnp.isfinite(desc).all())
+
+
+def test_harris_brief_hamming_pipeline(upenn_pair_half):
+    """The binary-descriptor family (reference's ORB branch,
+    view_processor.py:128-137 + Hamming BFMatcher key_tracker.py:82-85):
+    Harris corners + steered-BRIEF +-1 codes must produce geometrically
+    consistent Hamming matches on the real pair."""
+    i1, i2 = upenn_pair_half
+    cfg = FrontendConfig(
+        detector="harris", max_keypoints=512, descriptor_dim=256, num_octaves=3
+    )
+    k1, d1 = detect_and_describe(jnp.asarray(i1), cfg)
+    k2, d2 = detect_and_describe(jnp.asarray(i2), cfg)
+    assert int(k1.mask.sum()) > 300
+    assert d1.shape == (512, 256)
+    vals = np.unique(np.asarray(d1)[np.asarray(k1.mask)])
+    assert set(vals).issubset({-1.0, 1.0})
+
+    res = match_descriptors(
+        d1, d2, k1.mask, k2.mask, MatcherConfig(ratio=0.85, metric="hamming")
+    )
+    n_matches = int(res.valid.sum())
+    assert n_matches > 60, n_matches
+    # geometric quality: F-RANSAC on the matches keeps a solid majority
+    tgt = np.maximum(np.asarray(res.target), 0)
+    que_xy = jnp.asarray(np.asarray(k2.xy)[tgt])
+    F = find_fundamental(
+        jax.random.key(0), k1.xy, que_xy, res.valid,
+        RansacConfig(inlier_threshold=2.0, iteration=256),
+    )
+    assert int(F.num_inliers) > 0.5 * n_matches, (int(F.num_inliers), n_matches)
+
+
+def test_hamming_distance_matches_bit_count():
+    rng = np.random.default_rng(0)
+    a = np.where(rng.random((16, 64)) > 0.5, 1.0, -1.0).astype(np.float32)
+    b = np.where(rng.random((16, 64)) > 0.5, 1.0, -1.0).astype(np.float32)
+    from structure_from_motion_tpu.ops.matching import hamming_distances
+
+    ham = np.asarray(
+        hamming_distances(
+            jnp.asarray(a), jnp.asarray(b),
+            jnp.ones(16, bool), jnp.ones(16, bool),
+        )
+    )
+    brute = (a[:, None, :] != b[None, :, :]).sum(-1)
+    np.testing.assert_array_equal(ham, brute)

@@ -1,0 +1,94 @@
+"""End-to-end golden regression: reconstruct the 6-image upenn sequence and
+compare the trajectory against the reference's golden ``view_pose.pkl``
+(the reference's whole-pipeline test, ``ba_processor.py:443-546``; golden
+outputs under ``test_dataset/upenn/results/``).
+
+The frontend is the cv2-SIFT oracle (the geometry stack under test is ours;
+the reference uses cv2 SIFT too, so correspondences are comparable). The
+golden trajectory is itself the output of the reference's imperfect solver,
+so the gate is a similarity-aligned ATE bound relative to the trajectory
+span — shape agreement, not bitwise equality (SURVEY.md section 6).
+"""
+
+import os
+import pickle
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from structure_from_motion_tpu.config import (
+    BAConfig,
+    CapacityConfig,
+    FrontendConfig,
+    LMConfig,
+    MatcherConfig,
+    PipelineConfig,
+    RansacConfig,
+)
+from structure_from_motion_tpu.io import load_image_grayscale, upenn_intrinsics
+from structure_from_motion_tpu.models import IncrementalSfM
+from structure_from_motion_tpu.utils.metrics import absolute_trajectory_error
+
+MAX_KP = 1024
+
+
+@pytest.fixture(scope="module")
+def sift_frames(reference_dataset_path):
+    cv2 = pytest.importorskip("cv2")
+    d = os.path.join(reference_dataset_path, "upenn")
+    sift = cv2.SIFT_create(nfeatures=MAX_KP)
+    frames = []
+    for i in range(1, 7):
+        img = load_image_grayscale(os.path.join(d, f"image{i:07d}.bmp"))
+        kps, desc = sift.detectAndCompute(img.astype(np.uint8), None)
+        n = min(len(kps), MAX_KP)
+        xy = np.zeros((MAX_KP, 2), np.float32)
+        dd = np.zeros((MAX_KP, 128), np.float32)
+        valid = np.zeros(MAX_KP, bool)
+        xy[:n] = [k.pt for k in kps[:n]]
+        dd[:n] = desc[:n]
+        valid[:n] = True
+        frames.append((xy, dd, valid))
+    return frames
+
+
+def test_upenn_trajectory_matches_golden(reference_dataset_path, sift_frames):
+    cfg = PipelineConfig(
+        frontend=FrontendConfig(max_keypoints=MAX_KP),
+        matcher=MatcherConfig(
+            ratio=0.75,
+            use_fundamental_gate=True,
+            gate_ransac=RansacConfig(inlier_threshold=3.0, iteration=128),
+        ),
+        fundamental_ransac=RansacConfig(inlier_threshold=2.0, iteration=256),
+        pnp_ransac=RansacConfig(inlier_threshold=8.0, sample_num=6, iteration=512),
+        pnp_lm=LMConfig(damping=5.0, iterations=100),
+        triangulation_lm=LMConfig(damping=5.0, iterations=50),
+        capacity=CapacityConfig(
+            max_views=8, max_keypoints=MAX_KP, max_points=8192,
+            max_observations=32768,
+        ),
+    )
+    engine = IncrementalSfM(cfg, upenn_intrinsics(), frontend="precomputed")
+    for xy, dd, valid in sift_frames:
+        info = engine.process_features(xy, dd, valid)
+
+    locs, rots = engine.poses()
+    assert len(locs) == 6
+
+    with open(
+        os.path.join(reference_dataset_path, "upenn", "results", "view_pose.pkl"),
+        "rb",
+    ) as fh:
+        g_locs, g_rots = pickle.load(fh)
+    ate = absolute_trajectory_error(locs, g_locs)
+    span = float(np.linalg.norm(g_locs.max(0) - g_locs.min(0)))
+    # golden trajectory span ~7.4; measured ATE ~0.74 (10%) — gate at 15%
+    assert ate < 0.15 * span, (ate, span, locs, g_locs)
+
+    # quality gates on our own metrics
+    assert info["reprojection_px"] < 3.0, info
+    assert len(engine.map_points()) > 300
+    # the trajectory must actually progress (not collapse to a cluster)
+    assert np.linalg.norm(locs[-1] - locs[0]) > 0.3 * span
