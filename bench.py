@@ -48,11 +48,15 @@ def bench_ba_iters_per_s():
     cfg = BAConfig(iterations=iters, damping=5.0, huber_delta=0.01)
     state, obs = ge._synthetic_ba_problem()
     f = jax.jit(lambda s, o: run_bundle_adjustment(s, o, cfg)[1])
-    jax.block_until_ready(f(state, obs))  # compile
+    # NOTE: timings end with a real scalar fetch — on the tunnelled TPU
+    # backend block_until_ready returns before execution finishes, so a
+    # device->host read is the only honest barrier.
+    float(f(state, obs)[-1])  # compile + execute
     n_rep = 5
     t0 = time.perf_counter()
     for _ in range(n_rep):
-        jax.block_until_ready(f(state, obs))
+        costs = f(state, obs)
+    float(costs[-1])
     dt = (time.perf_counter() - t0) / n_rep
     return iters / dt
 
@@ -79,26 +83,60 @@ def bench_pipeline():
             max_observations=32768,
         ),
     )
+    import jax
+
+    from structure_from_motion_tpu.models import BatchedIncrementalSfM
+
     K = upenn_intrinsics()
     files = [os.path.join(UPENN, f"image{i:07d}.bmp") for i in range(1, 7)]
-    imgs = [load_image_grayscale(f) for f in files]
+    # uint8 frames: 4x cheaper host->device transfer; the frontend
+    # normalises on device
+    imgs = [load_image_grayscale(f).astype(np.uint8) for f in files]
 
+    # NOTE: every timed region ends with a real scalar fetch — on the
+    # tunnelled TPU backend block_until_ready returns before execution
+    # finishes, so a device->host read is the only honest barrier.
+
+    # ---- single-sequence latency ----------------------------------------
     # warm-up pass compiles every stage shape (frames 0,1,2 hit all stages)
-    warm = IncrementalSfM(cfg, K, frontend="native")
+    warm = IncrementalSfM(cfg, K, frontend="native", collect_metrics=False)
     for img in imgs[:3]:
         warm.process_image(img)
+    int(warm.state.num_points)
 
-    engine = IncrementalSfM(cfg, K, frontend="native")
+    engine = IncrementalSfM(cfg, K, frontend="native", collect_metrics=False)
     t0 = time.perf_counter()
-    info = {}
     for img in imgs:
-        info = engine.process_image(img)
-    dt = time.perf_counter() - t0
+        engine.process_image(img)
+    int(engine.state.num_points)
+    seq_latency = time.perf_counter() - t0
+
+    # ---- batched throughput (the TPU-idiomatic number) -------------------
+    # B sequences advance in lockstep via vmap; one barrier at the end.
+    # The fixed dispatch/fetch latency amortises over B x 6 frames,
+    # exposing the actual device throughput.
+    B = 8
+    frame_batches = [np.stack([im] * B) for im in imgs]
+    warm_b = BatchedIncrementalSfM(cfg, K, batch=B, frontend="native")
+    for fb in frame_batches[:3]:
+        warm_b.process_images(fb)
+    int(warm_b.states.num_points[0])
+
+    bench_b = BatchedIncrementalSfM(cfg, K, batch=B, frontend="native")
+    t0 = time.perf_counter()
+    for fb in frame_batches:
+        bench_b.process_images(fb)
+    int(bench_b.states.num_points[0])
+    dt_b = time.perf_counter() - t0
+
     extras = {
-        "reprojection_px": float(info.get("reprojection_px", float("nan"))),
+        "sequence_latency_s": round(seq_latency, 3),
+        "single_seq_frames_per_s": round(len(imgs) / seq_latency, 4),
+        "batch": B,
+        "reprojection_px": round(engine.reprojection_error(), 4),
         "map_points": int(len(engine.map_points())),
     }
-    return len(imgs) / dt, extras
+    return B * len(imgs) / dt_b, extras
 
 
 def main():

@@ -334,6 +334,86 @@ _set_feats_jit = jax.jit(tracks.set_view_features)
 _reproj_jit = jax.jit(pipeline_reprojection_error)
 
 
+def _zero_info(state: SfMState, config: PipelineConfig) -> dict:
+    """The unified per-frame info pytree — every branch of the frame step
+    returns this exact structure so ``lax.switch`` type-checks."""
+    i32 = jnp.asarray(0, jnp.int32)
+    return {
+        "matches": i32,
+        "f_inliers": i32,
+        "cheirality_counts": jnp.zeros((4,), jnp.int32),
+        "pnp_candidates": i32,
+        "pnp_inliers": i32,
+        "new_points": i32,
+        "ba_costs": jnp.zeros((config.ba.iterations,), state.points.dtype),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _frame_step(
+    state: SfMState, v: Array, key: Array, xy: Array, desc: Array,
+    valid: Array, config: PipelineConfig,
+) -> tuple[SfMState, dict]:
+    """ONE device program for a whole frame: store features, match against
+    all prior views, then branch (``lax.switch``) into the v==0 / bootstrap
+    / localize+BA stage, and compute the reprojection metric.
+
+    Rationale: on a remote-tunnel TPU every dispatch is a host round trip;
+    the per-stage design costs ~6-8 RTTs per frame (~2s measured) while the
+    device compute itself is ~ms. Fusing the frame into one traced program
+    makes the steady state one dispatch."""
+    state = tracks.set_view_features(state, v, xy, desc, valid)
+    k_match, k_stage = jax.random.split(key)
+    state = _match_stage(state, v, k_match, config=config)
+
+    def frame0(st, k):
+        dtype = st.cam_C.dtype
+        st = tracks.set_camera(
+            st, 0, jnp.zeros(3, dtype), jnp.asarray([1.0, 0, 0, 0], dtype)
+        )
+        return st, _zero_info(st, config)
+
+    def frame1(st, k):
+        st, si = _bootstrap_stage(st, k, config=config)
+        info = _zero_info(st, config)
+        info.update(
+            matches=si["matches"].astype(jnp.int32),
+            f_inliers=si["f_inliers"].astype(jnp.int32),
+            cheirality_counts=si["cheirality_counts"].astype(jnp.int32),
+            new_points=si["new_points"].astype(jnp.int32),
+        )
+        return st, info
+
+    def frame_n(st, k):
+        st, si = _localize_stage(st, v, k, config=config)
+        st, costs = _ba_stage(st, config=config)
+        info = _zero_info(st, config)
+        info.update(
+            matches=si["matches"].astype(jnp.int32),
+            pnp_candidates=si["pnp_candidates"].astype(jnp.int32),
+            pnp_inliers=si["pnp_inliers"].astype(jnp.int32),
+            new_points=si["new_points"].astype(jnp.int32),
+            ba_costs=costs,
+        )
+        return st, info
+
+    state, info = jax.lax.switch(
+        jnp.minimum(v, 2), [frame0, frame1, frame_n], state, k_stage
+    )
+    info["reprojection_px"] = pipeline_reprojection_error(state)
+    return state, info
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _frame_step_native(
+    state: SfMState, v: Array, key: Array, img: Array, config: PipelineConfig
+) -> tuple[SfMState, dict]:
+    """Frame step with the on-device frontend fused in: image -> features ->
+    full frame step, still one dispatch."""
+    kps, desc = detect_and_describe(img, config.frontend)
+    return _frame_step(state, v, key, kps.xy, desc, kps.mask, config)
+
+
 class IncrementalSfM:
     """Host-side orchestrator. Feed frames; poses/map accumulate on device.
 
@@ -344,10 +424,22 @@ class IncrementalSfM:
     reference's pickled-keypoint caches, ``view_processor.py:81-98``).
     """
 
-    def __init__(self, config: PipelineConfig, K, frontend: str = "native", seed: int = 0):
+    def __init__(
+        self,
+        config: PipelineConfig,
+        K,
+        frontend: str = "native",
+        seed: int = 0,
+        collect_metrics: bool = True,
+    ):
         if config.frontend.max_keypoints != config.capacity.max_keypoints:
             raise ValueError("frontend.max_keypoints must equal capacity.max_keypoints")
         self.config = config
+        # collect_metrics=False keeps every per-frame stat as an unsynced
+        # device array so frames enqueue asynchronously — on a remote-tunnel
+        # TPU each np.asarray/float() is a full round trip and dominates the
+        # frame time (measured ~2s/frame of RTTs vs ~ms of device compute)
+        self.collect_metrics = collect_metrics
         self.state = tracks.init_state(
             config.capacity, K, desc_dim=config.frontend.descriptor_dim
         )
@@ -360,53 +452,62 @@ class IncrementalSfM:
         # config as a static argument, so the compile cache is shared
         # across engine instances — constructing a new IncrementalSfM
         # never recompiles.
-        self._jit_match = functools.partial(_match_stage, config=cfg)
-        self._jit_bootstrap = functools.partial(_bootstrap_stage, config=cfg)
-        self._jit_localize = functools.partial(_localize_stage, config=cfg)
-        self._jit_ba = functools.partial(_ba_stage, config=cfg)
+        self._jit_frame_step = functools.partial(_frame_step, config=cfg)
+        self._jit_frame_step_native = functools.partial(_frame_step_native, config=cfg)
         self._jit_detect = functools.partial(detect_and_describe, cfg=cfg.frontend)
-        self._jit_set_feats = _set_feats_jit
         self._jit_reproj = _reproj_jit
+        # per-frame PRNG keys precomputed host-side (cheap, avoids a device
+        # split dispatch per frame)
+        self._keys = jax.random.split(
+            self._key, config.capacity.max_views
+        )
 
     # -- feeding frames ----------------------------------------------------
     def process_image(self, img) -> dict:
+        """One frame from a raw image: a SINGLE device dispatch (frontend +
+        matching + geometry + BA fused into one jitted program)."""
         if self.frontend != "native":
             raise RuntimeError("process_image requires the native frontend")
-        kps, desc = self._jit_detect(jnp.asarray(img))
-        return self.process_features(kps.xy, desc, kps.mask)
+        v = self._frame
+        if v >= self.config.capacity.max_views or v >= self.config.window_size:
+            return {"skipped": True, "frame": v}
+        self.state, info = self._jit_frame_step_native(
+            self.state, jnp.asarray(v), self._keys[v], jnp.asarray(img)
+        )
+        return self._finish_frame(v, info)
 
     def process_features(self, xy, desc, valid) -> dict:
         v = self._frame
         if v >= self.config.capacity.max_views or v >= self.config.window_size:
             return {"skipped": True, "frame": v}
         dtype = self.state.kp_xy.dtype
-        self.state = self._jit_set_feats(
+        self.state, info = self._jit_frame_step(
             self.state,
             jnp.asarray(v),
+            self._keys[v],
             jnp.asarray(xy, dtype),
             jnp.asarray(desc, dtype),
             jnp.asarray(valid, bool),
         )
-        self._key, sub_match, sub = jax.random.split(self._key, 3)
-        self.state = self._jit_match(self.state, jnp.asarray(v), sub_match)
-        info: dict[str, Any] = {"frame": v}
-        if v == 0:
-            self.state = tracks.set_camera(
-                self.state, 0, jnp.zeros(3, dtype), jnp.asarray([1.0, 0, 0, 0], dtype)
-            )
-        elif v == 1:
-            self.state, stage_info = self._jit_bootstrap(self.state, sub)
-            info.update({k: np.asarray(val) for k, val in stage_info.items()})
-        else:
-            self.state, stage_info = self._jit_localize(self.state, jnp.asarray(v), sub)
-            info.update({k: np.asarray(val) for k, val in stage_info.items()})
-            self.state, costs = self._jit_ba(self.state)
-            info["ba_costs"] = np.asarray(costs)
-        self._frame += 1
-        info["reprojection_px"] = float(self._jit_reproj(self.state))
+        return self._finish_frame(v, info)
+
+    def _finish_frame(self, v: int, info: dict) -> dict:
+        self._frame = v + 1
+        info = dict(info)
+        info["frame"] = v
+        if self.collect_metrics:
+            info = {
+                k: (np.asarray(val) if hasattr(val, "shape") else val)
+                for k, val in info.items()
+            }
+            info["reprojection_px"] = float(info["reprojection_px"])
         return info
 
     # -- results -----------------------------------------------------------
+    def reprojection_error(self) -> float:
+        """Mean pixel reprojection error over all observations (one sync)."""
+        return float(self._jit_reproj(self.state))
+
     def poses(self):
         """(locs (F,3), rots (F,3,3)) for the processed frames — the layout
         of the reference's golden ``view_pose.pkl``."""

@@ -136,11 +136,11 @@ def allocate_points(state: SfMState, X: Array, mask: Array):
     dest = jnp.where(mask, ids, M)
     points = state.points.at[dest].set(X, mode="drop")
     pt_valid = state.pt_valid.at[dest].set(mask, mode="drop")
-    n_new = jnp.sum(mask.astype(jnp.int32))
+    n_new = jnp.sum(mask, dtype=jnp.int32)
     state = state._replace(
         points=points,
         pt_valid=pt_valid,
-        num_points=jnp.minimum(state.num_points + n_new, M),
+        num_points=jnp.minimum(state.num_points + n_new, M).astype(jnp.int32),
     )
     return state, ids.astype(jnp.int32)
 
@@ -169,7 +169,9 @@ def append_observations(
         obs_pt=state.obs_pt.at[dest].set(point.astype(jnp.int32), mode="drop"),
         obs_uv=state.obs_uv.at[dest].set(uv, mode="drop"),
         obs_valid=state.obs_valid.at[dest].set(kept, mode="drop"),
-        num_obs=jnp.minimum(state.num_obs + jnp.sum(kept.astype(jnp.int32)), O),
+        num_obs=jnp.minimum(
+            state.num_obs + jnp.sum(kept, dtype=jnp.int32), O
+        ).astype(jnp.int32),
     )
 
 

@@ -195,24 +195,80 @@ def _octave_candidates(gauss: Array, cfg: FrontendConfig, per_octave_k: int):
     return x, y, s_idx, top_resp, ok
 
 
-def _orientation_and_descriptor(
-    gauss_oct: Array,
+def _bilinear_sample_flat(
+    flat: Array, base: Array, s: Array, x: Array, y: Array, h: Array,
+    w: Array, hw: Array,
+) -> Array:
+    """Bilinear sample of a FLAT concatenated pyramid.
+
+    ``flat``: 1-D concatenation of every octave's (S+3, H_o, W_o) stack (no
+    zero padding — a padded (O, S+3, H0, W0) pyramid costs 4x the memory and
+    OOMs under vmap at batch 8 on a 16 GB chip). Per keypoint: ``base`` =
+    flat offset of its octave, ``s`` level index, ``h``/``w``/``hw`` its
+    octave dims. One 1-D gather per tap; zero outside the octave image.
+    """
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    start = (base + s * hw)[:, None]  # (K, 1)
+
+    def tap(yy, xx):
+        inb = (yy >= 0) & (yy < h[:, None]) & (xx >= 0) & (xx < w[:, None])
+        idx = start + jnp.clip(yy, 0, h[:, None] - 1) * w[:, None] + jnp.clip(
+            xx, 0, w[:, None] - 1
+        )
+        return jnp.where(inb, flat[idx], 0.0)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    return (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    )
+
+
+def _orientation_and_descriptor_selected(
+    gauss_octs: list,
+    oct_idx: Array,
+    s_idx: Array,
     x: Array,
     y: Array,
-    s_idx: Array,
     valid: Array,
     sigmas: tuple,
 ):
-    """Per-keypoint orientation + 128-d descriptor for one octave.
+    """Orientation + 128-d descriptor for the globally selected keypoints.
 
-    ``gauss_oct``: (S+3, H, W); keypoints in octave pixel coords. All
-    keypoints processed as one batch of gathered sample grids.
+    ``gauss_octs``: per-octave (S+3, H_o, W_o) gaussian stacks; keypoints in
+    octave-local pixel coords with their (octave, level) indices. Same math
+    as the reference-era per-octave path, but the pyramid is flattened into
+    one 1-D buffer so every read is a single gather over exactly the
+    selected keypoints — the detect stage's cost drops ~7x at 1024
+    keypoints (measured on TPU: the per-level masked gather loop dominated
+    the whole pipeline), and memory stays at the unpadded pyramid size.
     """
     n = x.shape[0]
-    # gradient maps per level
-    gx = 0.5 * (jnp.roll(gauss_oct, -1, 2) - jnp.roll(gauss_oct, 1, 2))
-    gy = 0.5 * (jnp.roll(gauss_oct, -1, 1) - jnp.roll(gauss_oct, 1, 1))
+    # per-octave gradient maps, flattened and concatenated
+    gx_flat = jnp.concatenate(
+        [(0.5 * (jnp.roll(g, -1, 2) - jnp.roll(g, 1, 2))).reshape(-1) for g in gauss_octs]
+    )
+    gy_flat = jnp.concatenate(
+        [(0.5 * (jnp.roll(g, -1, 1) - jnp.roll(g, 1, 1))).reshape(-1) for g in gauss_octs]
+    )
+    import numpy as _np
 
+    sizes = [g.shape[1] * g.shape[2] for g in gauss_octs]  # H_o * W_o (static)
+    bases = _np.cumsum([0] + [g.size for g in gauss_octs])[:-1]
+    oct_h = jnp.asarray([g.shape[1] for g in gauss_octs], jnp.int32)[oct_idx]
+    oct_w = jnp.asarray([g.shape[2] for g in gauss_octs], jnp.int32)[oct_idx]
+    oct_hw = jnp.asarray(sizes, jnp.int32)[oct_idx]
+    base = jnp.asarray(bases, jnp.int32)[oct_idx]
     sig = jnp.asarray(sigmas, dtype=jnp.float32)[s_idx]  # (n,) octave sigma
 
     # ---- orientation: 16x16 grid, radius 4.5 sigma -----------------------
@@ -223,27 +279,19 @@ def _orientation_and_descriptor(
     sx = x[:, None] + rad[:, None] * gxx.reshape(-1)[None, :]  # (n, G*G)
     sy = y[:, None] + rad[:, None] * gyy.reshape(-1)[None, :]
 
-    def sample_level(maps, sxx, syy, sidx):
-        # gather from the right pyramid level per keypoint
-        out = jnp.zeros_like(sxx)
-        for s in range(maps.shape[0]):
-            v = _bilinear_sample(maps[s], sxx, syy)
-            out = jnp.where((sidx == s)[:, None], v, out)
-        return out
-
-    gxs = sample_level(gx, sx, sy, s_idx)
-    gys = sample_level(gy, sx, sy, s_idx)
+    gxs = _bilinear_sample_flat(gx_flat, base, s_idx, sx, sy, oct_h, oct_w, oct_hw)
+    gys = _bilinear_sample_flat(gy_flat, base, s_idx, sx, sy, oct_h, oct_w, oct_hw)
     mag = jnp.sqrt(gxs**2 + gys**2)
     ang = jnp.arctan2(gys, gxs)  # [-pi, pi]
-    wgt = jnp.exp(-(gxx.reshape(-1)[None, :] ** 2 + gyy.reshape(-1)[None, :] ** 2) / (2 * 0.5**2))
+    wgt = jnp.exp(
+        -(gxx.reshape(-1)[None, :] ** 2 + gyy.reshape(-1)[None, :] ** 2)
+        / (2 * 0.5**2)
+    )
     hist_bins = 36
     b = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * hist_bins).astype(jnp.int32) % hist_bins
     onehot = jax.nn.one_hot(b, hist_bins, dtype=jnp.float32)  # (n, G*G, 36)
     hist = jnp.einsum("nk,nkb->nb", mag * wgt, onehot)
-    # smooth the circular histogram
-    hist = (
-        jnp.roll(hist, 1, axis=1) + hist + jnp.roll(hist, -1, axis=1)
-    ) / 3.0
+    hist = (jnp.roll(hist, 1, axis=1) + hist + jnp.roll(hist, -1, axis=1)) / 3.0
     peak = jnp.argmax(hist, axis=1)
     angle = (peak.astype(jnp.float32) + 0.5) / hist_bins * 2 * jnp.pi - jnp.pi
 
@@ -257,18 +305,16 @@ def _orientation_and_descriptor(
     ca, sa = jnp.cos(angle)[:, None], jnp.sin(angle)[:, None]
     rx = x[:, None] + ca * gridx - sa * gridy
     ry = y[:, None] + sa * gridx + ca * gridy
-    gxd = sample_level(gx, rx, ry, s_idx)
-    gyd = sample_level(gy, rx, ry, s_idx)
+    gxd = _bilinear_sample_flat(gx_flat, base, s_idx, rx, ry, oct_h, oct_w, oct_hw)
+    gyd = _bilinear_sample_flat(gy_flat, base, s_idx, rx, ry, oct_h, oct_w, oct_hw)
     magd = jnp.sqrt(gxd**2 + gyd**2)
     angd = jnp.arctan2(gyd, gxd) - angle[:, None]
 
-    # spatial cell of each sample (static: depends only on the grid)
     cell = (jnp.arange(D) // (D // 4)).astype(jnp.int32)
     cell_y, cell_x = jnp.meshgrid(cell, cell, indexing="ij")
     cell_id = (cell_y * 4 + cell_x).reshape(-1)  # (256,)
     spatial = jax.nn.one_hot(cell_id, 16, dtype=jnp.float32)  # (256, 16)
 
-    # soft orientation binning into 8 bins
     ob = (angd + 2 * jnp.pi) % (2 * jnp.pi) / (2 * jnp.pi) * 8.0
     b0 = jnp.floor(ob).astype(jnp.int32) % 8
     frac = ob - jnp.floor(ob)
@@ -279,14 +325,12 @@ def _orientation_and_descriptor(
     oh0 = jax.nn.one_hot(b0, 8, dtype=jnp.float32) * (1 - frac)[..., None]
     oh1 = jax.nn.one_hot((b0 + 1) % 8, 8, dtype=jnp.float32) * frac[..., None]
     orient = oh0 + oh1  # (n, 256, 8)
-    # (n, 256, 8) x (256, 16) -> (n, 16, 8)
     desc = jnp.einsum("nkb,kc,nk->ncb", orient, spatial, w_desc)
     desc = desc.reshape(n, 128)
-    # SIFT illumination normalisation
     desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-9)
     desc = jnp.minimum(desc, 0.2)
     desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-9)
-    desc = desc * 512.0  # cv2-like integer scale, keeps matmuls well ranged
+    desc = desc * 512.0
     desc = jnp.where(valid[:, None], desc, 0.0)
     return angle, desc
 
@@ -452,10 +496,13 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
         for i in range(n_levels - 1)
     ]
 
+    # -- phase 1: cheap candidate detection per octave ----------------------
+    # (extrema maps + top-k on responses; NO descriptor work yet — the
+    # expensive gather-based description runs only for the global winners,
+    # a 4x saving at num_octaves=4)
     per_octave_k = cfg.max_keypoints
-    all_x, all_y, all_scale, all_resp, all_ok, all_angle, all_desc = (
-        [], [], [], [], [], [], [],
-    )
+    H0, W0 = img.shape
+    all_x, all_y, all_sidx, all_resp, all_ok, gauss_octs = [], [], [], [], [], []
 
     base = _blur(img, cfg.sigma0)
     for o in range(cfg.num_octaves):
@@ -463,39 +510,47 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
         for i in range(n_levels - 1):
             levels.append(_blur(levels[-1], increments[i]))
         gauss = jnp.stack(levels)  # (S+3, H_o, W_o)
+        gauss_octs.append(gauss)
 
         x, y, s_idx, resp, ok = _octave_candidates(gauss, cfg, per_octave_k)
-        angle, desc = _orientation_and_descriptor(
-            gauss, x, y, s_idx, ok, tuple(sigmas)
-        )
-        scale_fr = 2.0**o  # octave pixel -> full-res pixel
-        all_x.append((x + 0.0) * scale_fr)
-        all_y.append((y + 0.0) * scale_fr)
-        all_scale.append(jnp.asarray(sigmas, jnp.float32)[s_idx] * scale_fr)
+        all_x.append(x)
+        all_y.append(y)
+        all_sidx.append(s_idx)
         all_resp.append(resp)
         all_ok.append(ok)
-        all_angle.append(angle)
-        all_desc.append(desc)
-
         # next octave: downsample the level with sigma = 2 sigma0
         base = _downsample2(levels[S])
 
-    x = jnp.concatenate(all_x)
+    x = jnp.concatenate(all_x)  # octave-local coords
     y = jnp.concatenate(all_y)
-    scale = jnp.concatenate(all_scale)
+    s_idx = jnp.concatenate(all_sidx)
     resp = jnp.concatenate(all_resp)
     ok = jnp.concatenate(all_ok)
-    angle = jnp.concatenate(all_angle)
-    desc = jnp.concatenate(all_desc, axis=0)
+    oct_idx = jnp.concatenate(
+        [jnp.full((per_octave_k,), o, jnp.int32) for o in range(cfg.num_octaves)]
+    )
 
-    # global top-k merge across octaves
+    # global top-k merge across octaves (on responses only)
     score = jnp.where(ok, resp, -1.0)
     top_score, top_idx = jax.lax.top_k(score, cfg.max_keypoints)
-    kps = Keypoints(
-        xy=jnp.stack([x[top_idx], y[top_idx]], axis=1),
-        scale=scale[top_idx],
-        angle=angle[top_idx],
-        response=resp[top_idx],
-        mask=top_score > 0.0,
+    x, y = x[top_idx], y[top_idx]
+    s_idx, oct_sel = s_idx[top_idx], oct_idx[top_idx]
+    resp_sel = resp[top_idx]
+    mask = top_score > 0.0
+
+    # -- phase 2: orientation + descriptor for the winners only -------------
+    # octaves flattened into one 1-D pyramid buffer so every sample is ONE
+    # gather instead of a per-level masked loop
+    angle, desc = _orientation_and_descriptor_selected(
+        gauss_octs, oct_sel, s_idx, x, y, mask, tuple(sigmas)
     )
-    return kps, desc[top_idx]
+
+    scale_fr = jnp.exp2(oct_sel.astype(jnp.float32))  # octave -> full-res
+    kps = Keypoints(
+        xy=jnp.stack([x * scale_fr, y * scale_fr], axis=1),
+        scale=jnp.asarray(sigmas, jnp.float32)[s_idx] * scale_fr,
+        angle=angle,
+        response=resp_sel,
+        mask=mask,
+    )
+    return kps, desc

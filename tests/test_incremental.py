@@ -160,3 +160,31 @@ def test_window_cap_stops_processing(pipeline_config):
     assert infos[3].get("skipped") and infos[4].get("skipped")
     locs, _ = engine.poses()
     assert len(locs) == 3
+
+
+def test_state_invariants_after_run(pipeline_config):
+    """validate_state (the sanitizer analogue of the reference's hard-exit
+    invariant checks, ba_processor.py:170-174,233-237) reports a healthy
+    reconstruction after a full synthetic run."""
+    from structure_from_motion_tpu.utils.debug import validate_state
+
+    K, frames, *_ = synthetic_sequence(n_views=4)
+    engine = IncrementalSfM(pipeline_config, K, frontend="precomputed")
+    for f in frames:
+        engine.process_features(*f)
+    assert validate_state(engine.state) == []
+
+
+def test_collect_metrics_off_returns_device_arrays(pipeline_config):
+    import jax
+
+    K, frames, *_ = synthetic_sequence(n_views=3)
+    engine = IncrementalSfM(
+        pipeline_config, K, frontend="precomputed", collect_metrics=False
+    )
+    for f in frames:
+        info = engine.process_features(*f)
+    # no sync happened; stage stats remain (unsynced) jax arrays
+    assert isinstance(info["matches"], jax.Array)
+    assert isinstance(info["reprojection_px"], jax.Array)
+    assert engine.reprojection_error() < 1.0
