@@ -39,7 +39,6 @@ from structure_from_motion_tpu.ops.ba import (
 )
 from structure_from_motion_tpu.ops.campose import (
     candidate_projections,
-    cheirality_mask,
     decompose_essential,
     disambiguate_poses,
 )
@@ -221,19 +220,13 @@ def _localize_stage(
 
     # triangulate brand-new matches against EVERY prior view (improvement:
     # the reference only triangulates against its best_view stub = view 0,
-    # so map growth collapses as soon as the camera leaves view 0's frustum)
+    # so map growth collapses as soon as the camera leaves view 0's frustum).
+    # ALL (u, v) candidate pairs go through ONE flat triangulation call with
+    # per-candidate projection pairs — a sequential per-view loop of LM
+    # scans is pure latency on TPU.
     P_v = camera_projection(state.K, pnp.R, pnp.C)
     n_before = state.num_points
-
-    def tri_with_view(u, st):
-        def do(st):
-            return _triangulate_pair(st, u, v, P_v, config)
-
-        return jax.lax.cond(
-            jnp.logical_and(u < v, st.cam_valid[u]), do, lambda s: s, st
-        )
-
-    state = jax.lax.fori_loop(0, V, tri_with_view, state)
+    state = _triangulate_new_flat(state, v, P_v, flat_tgt, valid_m, config)
 
     info = {
         "matches": jnp.sum(valid_m),
@@ -244,50 +237,78 @@ def _localize_stage(
     return state, info
 
 
-def _triangulate_pair(
-    state: SfMState, u: Array, v: Array, P_v: Array, config: PipelineConfig
+def _triangulate_new_flat(
+    state: SfMState,
+    v: Array,
+    P_v: Array,
+    flat_tgt: Array,
+    valid_m: Array,
+    config: PipelineConfig,
 ) -> SfMState:
-    """Triangulate the (u, v) matches where neither key has a map point yet,
-    gate by positive depth in both views (improvement: the reference adds
-    every triangulated match to the map unchecked, ba_processor.py:222-261),
-    and register points + observations for both views."""
-    ref_keys, que_keys, ref_xy, que_xy, valid = tracks.matched_pair_arrays(state, u, v)
-    u_free = state.tri_index[u] < 0
-    v_free = state.tri_index[v][que_keys] < 0
-    new_mask = valid & u_free & v_free
+    """Triangulate every not-yet-constructed match (u, v, k) for all prior
+    views u at once, gate admissions, and register points + observations.
 
-    R_u = quat_to_rotation(state.cam_q[u])
-    P_u = camera_projection(state.K, R_u, state.cam_C[u])
-    uv = jnp.stack([ref_xy, que_xy], axis=1)
-    obs_mask = jnp.stack([new_mask, new_mask], axis=1)
-    Xh = triangulate(jnp.stack([P_u, P_v]), uv, obs_mask, config.triangulation_lm)
+    Gates (the reference admits everything, ba_processor.py:222-261):
+      1. positive depth in both views (cheirality),
+      2. reprojection error below threshold in both views,
+      3. triangulation (parallax) angle above threshold — short-baseline
+         pairs give depth-degenerate points that wreck later PnP.
+    A v-key matched from several prior views contributes ONE candidate (the
+    earliest u: widest baseline)."""
+    V, Kk = state.tri_index.shape
+    N = V * Kk
+    u_idx = jnp.repeat(jnp.arange(V, dtype=jnp.int32), Kk)  # (N,)
+    ref_keys = jnp.tile(jnp.arange(Kk, dtype=jnp.int32), V)
 
-    cheir = cheirality_mask(P_u, P_v, Xh, new_mask)
-    # admission gates (the reference admits everything,
-    # ba_processor.py:222-261):
-    #   1. positive depth in both views,
-    #   2. reprojection error below threshold in both views,
-    #   3. triangulation (parallax) angle above threshold — short-baseline
-    #      pairs give depth-degenerate points that wreck later PnP.
-    res, _ = reprojection_residuals(
-        jnp.stack([P_u, P_v]), Xh[:, :3], uv, obs_mask
+    valid_flat = valid_m.reshape(-1)
+    u_free = (state.tri_index < 0).reshape(-1)
+    v_free = state.tri_index[v][flat_tgt] < 0
+    usable = (u_idx < v) & state.cam_valid[u_idx]
+    cand = valid_flat & u_free & v_free & usable
+
+    # dedup per v-key: keep the earliest matching view u
+    first_u = (
+        jnp.full((Kk,), V, jnp.int32)
+        .at[flat_tgt]
+        .min(jnp.where(cand, u_idx, V))
     )
-    err = jnp.linalg.norm(res, axis=-1)  # (K, 2)
+    cand = cand & (first_u[flat_tgt] == u_idx)
+
+    # per-candidate projection pair (u's camera, current camera)
+    R_all = quat_to_rotation(state.cam_q)  # (V, 3, 3)
+    P_all = jax.vmap(lambda R, C: camera_projection(state.K, R, C))(
+        R_all, state.cam_C
+    )  # (V, 3, 4)
+    P_pair = jnp.stack(
+        [P_all[u_idx], jnp.broadcast_to(P_v, (N, 3, 4))], axis=1
+    )  # (N, 2, 3, 4)
+    ref_xy = state.kp_xy.reshape(N, 2)
+    que_xy = state.kp_xy[v][flat_tgt]
+    uv = jnp.stack([ref_xy, que_xy], axis=1)  # (N, 2, 2)
+    obs_mask = jnp.stack([cand, cand], axis=1)
+    Xh = triangulate(P_pair, uv, obs_mask, config.triangulation_lm)
+
+    # gate 1: cheirality in both views
+    d_u = jnp.einsum("nj,nj->n", P_pair[:, 0, 2, :], Xh)
+    d_v = jnp.einsum("nj,nj->n", P_pair[:, 1, 2, :], Xh)
+    cheir = (d_u > 0) & (d_v > 0)
+    # gate 2: reprojection error
+    res, _ = reprojection_residuals(P_pair, Xh[:, :3], uv, obs_mask)
+    err = jnp.linalg.norm(res, axis=-1)  # (N, 2)
     small = jnp.max(err, axis=1) < config.triangulation_max_error_px
-    r_u = Xh[:, :3] - state.cam_C[u]
+    # gate 3: parallax angle
+    r_u = Xh[:, :3] - state.cam_C[u_idx]
     r_v = Xh[:, :3] - state.cam_C[v]
     cosang = jnp.sum(r_u * r_v, axis=1) / jnp.maximum(
         jnp.linalg.norm(r_u, axis=1) * jnp.linalg.norm(r_v, axis=1), 1e-12
     )
-    enough_parallax = cosang < jnp.cos(
-        jnp.deg2rad(config.min_parallax_deg)
-    )
-    keep = new_mask & cheir & small & enough_parallax
+    enough_parallax = cosang < jnp.cos(jnp.deg2rad(config.min_parallax_deg))
+    keep = cand & cheir & small & enough_parallax
 
     state, ids = tracks.allocate_points(state, Xh[:, :3], keep)
-    state = tracks.set_tri_index(state, u, ref_keys, ids, keep)
-    state = tracks.set_tri_index(state, v, que_keys, ids, keep)
-    state = tracks.append_observations(state, jnp.full_like(ids, 0) + u, ids, ref_xy, keep)
+    state = tracks.set_tri_index_flat(state, u_idx, ref_keys, ids, keep)
+    state = tracks.set_tri_index(state, v, flat_tgt, ids, keep)
+    state = tracks.append_observations(state, u_idx, ids, ref_xy, keep)
     state = tracks.append_observations(state, jnp.full_like(ids, 0) + v, ids, que_xy, keep)
     return state
 

@@ -155,6 +155,19 @@ def set_tri_index(state: SfMState, v: Array, keys: Array, ids: Array, mask: Arra
     return state._replace(tri_index=state.tri_index.at[v].set(row))
 
 
+def set_tri_index_flat(
+    state: SfMState, views: Array, keys: Array, ids: Array, mask: Array
+) -> SfMState:
+    """tri_index[views, keys] = ids where mask — 2-D masked scatter for
+    candidates spanning many views at once."""
+    V = state.tri_index.shape[0]
+    safe_views = jnp.where(mask, views, V)  # out of range -> dropped
+    tri = state.tri_index.at[safe_views, keys].set(
+        jnp.where(mask, ids, -1).astype(jnp.int32), mode="drop"
+    )
+    return state._replace(tri_index=tri)
+
+
 def append_observations(
     state: SfMState, cam: Array, point: Array, uv: Array, mask: Array
 ) -> SfMState:

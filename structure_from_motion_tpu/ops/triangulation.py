@@ -32,17 +32,20 @@ from structure_from_motion_tpu.ops.linalg import inv3x3, nullspace
 def linear_triangulate(P: Array, uv: Array, obs_mask: Array) -> Array:
     """Batched DLT.
 
-    ``P``: (V, 3, 4) projections; ``uv``: (N, V, 2) pixel observations;
-    ``obs_mask``: (N, V) which views observe each point.
-    Returns homogeneous points (N, 4) normalised to W=1.
+    ``P``: (V, 3, 4) projections shared by all points, or (N, V, 3, 4)
+    per-point projections (e.g. every point triangulated from its own view
+    pair); ``uv``: (N, V, 2) pixel observations; ``obs_mask``: (N, V) which
+    views observe each point. Returns homogeneous points (N, 4), W=1.
     """
-    p0 = P[:, 0, :]  # (V, 4)
-    p1 = P[:, 1, :]
-    p2 = P[:, 2, :]
+    if P.ndim == 3:
+        P = P[None]  # broadcast (1, V, 3, 4)
+    p0 = P[..., 0, :]  # (N|1, V, 4)
+    p1 = P[..., 1, :]
+    p2 = P[..., 2, :]
     u = uv[..., 0][..., None]  # (N, V, 1)
     v = uv[..., 1][..., None]
-    row_u = u * p2[None] - p0[None]  # (N, V, 4)
-    row_v = v * p2[None] - p1[None]
+    row_u = u * p2 - p0  # (N, V, 4)
+    row_v = v * p2 - p1
     rows = jnp.concatenate([row_u, row_v], axis=1)  # (N, 2V, 4)
     m = jnp.concatenate([obs_mask, obs_mask], axis=1)[..., None]
     rows = rows * m
@@ -52,6 +55,13 @@ def linear_triangulate(P: Array, uv: Array, obs_mask: Array) -> Array:
     return X / w
 
 
+def _project(P: Array, Xh: Array) -> Array:
+    """(V,3,4) shared or (N,V,3,4) per-point projections -> (N, V, 3)."""
+    if P.ndim == 3:
+        return jnp.einsum("vij,nj->nvi", P, Xh)
+    return jnp.einsum("nvij,nj->nvi", P, Xh)
+
+
 def reprojection_residuals(P: Array, X: Array, uv: Array, obs_mask: Array):
     """Residuals (proj - measurement) and depths for (N,3) points.
 
@@ -59,7 +69,7 @@ def reprojection_residuals(P: Array, X: Array, uv: Array, obs_mask: Array):
     projective depths (N, V).
     """
     Xh = jnp.concatenate([X, jnp.ones_like(X[..., :1])], axis=-1)  # (N, 4)
-    proj = jnp.einsum("vij,nj->nvi", P, Xh)  # (N, V, 3)
+    proj = _project(P, Xh)  # (N, V, 3)
     depth = proj[..., 2]
     safe = jnp.where(jnp.abs(depth) < 1e-12, 1e-12, depth)
     pix = proj[..., :2] / safe[..., None]
@@ -74,13 +84,14 @@ def _projection_jacobian(P: Array, X: Array, obs_mask: Array) -> Array:
     the rotation-part rows. Masked observations contribute zero rows.
     """
     Xh = jnp.concatenate([X, jnp.ones_like(X[..., :1])], axis=-1)
-    proj = jnp.einsum("vij,nj->nvi", P, Xh)  # (N, V, 3)
+    proj = _project(P, Xh)  # (N, V, 3)
     depth = proj[..., 2]
     safe = jnp.where(jnp.abs(depth) < 1e-12, 1e-12, depth)
-    A = P[None, :, :2, :3]  # (1, V, 2, 3)
-    c = P[None, :, 2, :3]  # (1, V, 3)
+    Pb = P[None] if P.ndim == 3 else P  # (N|1, V, 3, 4)
+    A = Pb[..., :2, :3]  # (N|1, V, 2, 3)
+    c = Pb[..., 2, :3]  # (N|1, V, 3)
     pix = proj[..., :2] / safe[..., None]  # (N, V, 2)
-    J = (A - pix[..., None] * c[:, :, None, :]) / safe[..., None, None]
+    J = (A - pix[..., None] * c[..., None, :]) / safe[..., None, None]
     return J * obs_mask[..., None, None]
 
 
