@@ -62,6 +62,7 @@ def _build_config(args) -> "PipelineConfig":
             max_observations=args.max_observations,
         ),
         window_size=args.max_views,
+        window_mode=args.window_mode,
     )
 
 
@@ -79,7 +80,8 @@ def cmd_reconstruct(args) -> int:
     if not files:
         print(f"no images match {args.images}/{args.pattern}", file=sys.stderr)
         return 2
-    files = files[: args.max_views]
+    if cfg.window_mode != "slide":
+        files = files[: args.max_views]
 
     K = np.array(
         [[args.fx, 0.0, args.cx], [0.0, args.fy, args.cy], [0.0, 0.0, 1.0]]
@@ -195,6 +197,11 @@ def main(argv=None) -> int:
     r.add_argument("--ratio", type=float, default=0.75)
     r.add_argument("--no-gate", action="store_true")
     r.add_argument("--max-views", type=int, default=16)
+    r.add_argument(
+        "--window-mode", choices=["stop", "slide"], default="slide",
+        help="past max-views frames: stop (reference filter_size) or slide "
+             "(evict oldest view, archive its pose, keep reconstructing)",
+    )
     r.add_argument("--max-points", type=int, default=16384)
     r.add_argument("--max-observations", type=int, default=65536)
     r.add_argument("--seed", type=int, default=0)

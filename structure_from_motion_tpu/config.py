@@ -183,11 +183,15 @@ class PipelineConfig:
             inlier_threshold=8.0, sample_num=6, iteration=1024
         )
     )
+    # LM iteration budgets: the reference runs 300/100 fixed iterations
+    # (campose_processor.py:378-405, triangulation_processor.py:209-228);
+    # 100/50 reaches the same upenn trajectory quality (golden e2e test) and
+    # sequential scan length is pure latency on TPU.
     pnp_lm: LMConfig = dataclasses.field(
-        default_factory=lambda: LMConfig(damping=5.0, iterations=300)
+        default_factory=lambda: LMConfig(damping=5.0, iterations=100)
     )
     triangulation_lm: LMConfig = dataclasses.field(
-        default_factory=lambda: LMConfig(damping=5.0, iterations=100)
+        default_factory=lambda: LMConfig(damping=5.0, iterations=50)
     )
     # Huber delta is in normalised camera units (0.01 ~ 5.7 px at f=570);
     # robust loss on by default in the pipeline (off in raw BAConfig for
@@ -197,6 +201,12 @@ class PipelineConfig:
     )
     capacity: CapacityConfig = dataclasses.field(default_factory=CapacityConfig)
     window_size: int = 10  # reference `filter_size` (ba_processor.py:24)
+    # what happens past window_size frames: "stop" = ignore them (the
+    # reference's filter_size behaviour, ba_processor.py:44-46); "slide" =
+    # evict the oldest view (archive its pose, drop its observations,
+    # compact the map) and keep going — long-sequence mode (BASELINE.json
+    # configs 4-5).
+    window_mode: str = "stop"
     # map admission: max per-view reprojection error of a new point (px)
     triangulation_max_error_px: float = 8.0
     # map admission: minimum ray (parallax) angle of a new point (degrees)

@@ -353,6 +353,7 @@ def pipeline_reprojection_error(state: SfMState) -> Array:
 
 _set_feats_jit = jax.jit(tracks.set_view_features)
 _reproj_jit = jax.jit(pipeline_reprojection_error)
+_evict_jit = jax.jit(tracks.evict_oldest_view)
 
 
 def _zero_info(state: SfMState, config: PipelineConfig) -> dict:
@@ -477,35 +478,50 @@ class IncrementalSfM:
         self._jit_frame_step_native = functools.partial(_frame_step_native, config=cfg)
         self._jit_detect = functools.partial(detect_and_describe, cfg=cfg.frontend)
         self._jit_reproj = _reproj_jit
-        # per-frame PRNG keys precomputed host-side (cheap, avoids a device
-        # split dispatch per frame)
-        self._keys = jax.random.split(
-            self._key, config.capacity.max_views
-        )
+        self._window = min(config.capacity.max_views, config.window_size)
+        # archived (evicted) poses in sliding-window mode: a host list of
+        # unsynced device arrays — no round trip until poses() is called
+        self._archive: list = []
 
     # -- feeding frames ----------------------------------------------------
+    def _begin_frame(self, v: int):
+        """Window policy: returns the device slot for frame v, or None if
+        the frame should be skipped ("stop" mode past the window)."""
+        if v < self._window:
+            return v
+        if self.config.window_mode != "slide":
+            return None
+        self.state, ev_C, ev_q = _evict_jit(self.state)
+        self._archive.append((ev_C, ev_q))
+        return self._window - 1
+
     def process_image(self, img) -> dict:
         """One frame from a raw image: a SINGLE device dispatch (frontend +
         matching + geometry + BA fused into one jitted program)."""
         if self.frontend != "native":
             raise RuntimeError("process_image requires the native frontend")
         v = self._frame
-        if v >= self.config.capacity.max_views or v >= self.config.window_size:
+        slot = self._begin_frame(v)
+        if slot is None:
             return {"skipped": True, "frame": v}
         self.state, info = self._jit_frame_step_native(
-            self.state, jnp.asarray(v), self._keys[v], jnp.asarray(img)
+            self.state,
+            jnp.asarray(slot),
+            jax.random.fold_in(self._key, v),
+            jnp.asarray(img),
         )
         return self._finish_frame(v, info)
 
     def process_features(self, xy, desc, valid) -> dict:
         v = self._frame
-        if v >= self.config.capacity.max_views or v >= self.config.window_size:
+        slot = self._begin_frame(v)
+        if slot is None:
             return {"skipped": True, "frame": v}
         dtype = self.state.kp_xy.dtype
         self.state, info = self._jit_frame_step(
             self.state,
-            jnp.asarray(v),
-            self._keys[v],
+            jnp.asarray(slot),
+            jax.random.fold_in(self._key, v),
             jnp.asarray(xy, dtype),
             jnp.asarray(desc, dtype),
             jnp.asarray(valid, bool),
@@ -530,11 +546,18 @@ class IncrementalSfM:
         return float(self._jit_reproj(self.state))
 
     def poses(self):
-        """(locs (F,3), rots (F,3,3)) for the processed frames — the layout
-        of the reference's golden ``view_pose.pkl``."""
-        n = self._frame
+        """(locs (F,3), rots (F,3,3)) for ALL processed frames (archived
+        evicted poses + the live window) — the layout of the reference's
+        golden ``view_pose.pkl``."""
+        n = min(self._frame, self._window)
         C = np.asarray(self.state.cam_C)[:n]
         R = np.asarray(quat_to_rotation(self.state.cam_q[:n]))
+        if self._archive:
+            Ca = np.stack([np.asarray(c) for c, _ in self._archive])
+            qa = jnp.stack([q for _, q in self._archive])
+            Ra = np.asarray(quat_to_rotation(qa))
+            C = np.concatenate([Ca, C])
+            R = np.concatenate([Ra, R])
         return C, R
 
     def map_points(self):

@@ -219,3 +219,106 @@ def find_best_view(state: SfMState, v: Array) -> Array:
     V = counts.shape[0]
     counts = jnp.where(jnp.arange(V) < v, counts, -1)
     return jnp.argmax(counts).astype(jnp.int32)
+
+
+def evict_oldest_view(state: SfMState):
+    """Slide the window: drop view 0, shift every view down by one.
+
+    The sliding-window/keyframe management the reference lacks (its
+    ``filter_size`` simply stops processing, ``ba_processor.py:44-46``).
+    Shifting (rather than ring-buffer slot reuse) preserves the "prior
+    views have smaller indices" invariant every stage relies on.
+
+    Returns (state, evicted_C (3,), evicted_q (4,)). All compaction is
+    jittable:
+      * view rows shift; last row cleared,
+      * observations of the evicted view are dropped and the store is
+        compacted to the front (stable),
+      * points left with no observations die; the point store is compacted
+        and every tri_index / obs_pt reference is remapped.
+    """
+    V, Kk = state.tri_index.shape
+    M = state.points.shape[0]
+    O = state.obs_cam.shape[0]
+    ev_C, ev_q = state.cam_C[0], state.cam_q[0]
+
+    def shift0(x, fill):
+        return jnp.concatenate(
+            [x[1:], jnp.full_like(x[:1], fill)], axis=0
+        )
+
+    kp_xy = shift0(state.kp_xy, 0)
+    kp_desc = shift0(state.kp_desc, 0)
+    kp_valid = shift0(state.kp_valid, False)
+    cam_C = shift0(state.cam_C, 0)
+    cam_q = jnp.concatenate(
+        [state.cam_q[1:], jnp.asarray([[1.0, 0, 0, 0]], state.cam_q.dtype)]
+    )
+    cam_valid = shift0(state.cam_valid, False)
+    tri_index = shift0(state.tri_index, -1)
+
+    mt = state.match_table[1:, 1:, :]  # drop row+col 0
+    match_table = jnp.full_like(state.match_table, -1)
+    match_table = match_table.at[: V - 1, : V - 1, :].set(mt)
+
+    # drop evicted view's observations, shift camera ids
+    keep_obs = jnp.logical_and(state.obs_valid, state.obs_cam != 0)
+    obs_cam = state.obs_cam - 1
+
+    # kill points with no remaining observations
+    counts = jnp.zeros((M,), jnp.int32).at[
+        jnp.where(keep_obs, state.obs_pt, M - 1)
+    ].add(jnp.where(keep_obs, 1, 0))
+    pt_valid = jnp.logical_and(state.pt_valid, counts > 0)
+
+    # compact the point store; build old->new id map
+    new_id = jnp.cumsum(pt_valid.astype(jnp.int32)) - 1  # (M,)
+    n_pts = jnp.sum(pt_valid, dtype=jnp.int32)
+    dest_pt = jnp.where(pt_valid, new_id, M)
+    points = jnp.zeros_like(state.points).at[dest_pt].set(
+        state.points, mode="drop"
+    )
+    pt_valid_c = jnp.zeros_like(pt_valid).at[dest_pt].set(pt_valid, mode="drop")
+    remap = jnp.where(pt_valid, new_id, -1)  # (M,) old -> new or -1
+
+    # remap tri_index through the point map
+    safe_tri = jnp.maximum(tri_index, 0)
+    tri_index = jnp.where(tri_index >= 0, remap[safe_tri], -1)
+
+    # drop observations of dead points, remap ids, compact the store
+    keep_obs = jnp.logical_and(keep_obs, remap[state.obs_pt] >= 0)
+    obs_rank = jnp.cumsum(keep_obs.astype(jnp.int32)) - 1
+    n_obs = jnp.sum(keep_obs, dtype=jnp.int32)
+    dest_o = jnp.where(keep_obs, obs_rank, O)
+    obs_cam_c = jnp.zeros_like(state.obs_cam).at[dest_o].set(
+        obs_cam.astype(jnp.int32), mode="drop"
+    )
+    obs_pt_c = jnp.zeros_like(state.obs_pt).at[dest_o].set(
+        remap[state.obs_pt].astype(jnp.int32), mode="drop"
+    )
+    obs_uv_c = jnp.zeros_like(state.obs_uv).at[dest_o].set(
+        state.obs_uv, mode="drop"
+    )
+    obs_valid_c = jnp.zeros_like(state.obs_valid).at[dest_o].set(
+        keep_obs, mode="drop"
+    )
+
+    state = state._replace(
+        kp_xy=kp_xy,
+        kp_desc=kp_desc,
+        kp_valid=kp_valid,
+        match_table=match_table,
+        tri_index=tri_index,
+        cam_C=cam_C,
+        cam_q=cam_q,
+        cam_valid=cam_valid,
+        points=points,
+        pt_valid=pt_valid_c,
+        num_points=n_pts,
+        obs_cam=obs_cam_c,
+        obs_pt=obs_pt_c,
+        obs_uv=obs_uv_c,
+        obs_valid=obs_valid_c,
+        num_obs=n_obs,
+    )
+    return state, ev_C, ev_q

@@ -188,3 +188,33 @@ def test_collect_metrics_off_returns_device_arrays(pipeline_config):
     assert isinstance(info["matches"], jax.Array)
     assert isinstance(info["reprojection_px"], jax.Array)
     assert engine.reprojection_error() < 1.0
+
+
+def test_sliding_window_long_sequence(pipeline_config):
+    """Long-sequence mode (BASELINE.json config 4): a 12-frame sequence
+    through a 6-view sliding window. Evicted poses are archived; the full
+    trajectory must stay accurate and the device state healthy (bounded
+    capacities, invariants intact) after repeated evictions."""
+    import dataclasses
+
+    from structure_from_motion_tpu.utils.debug import validate_state
+
+    n_frames = 12
+    K, frames, C_gt, R_gt, X_gt = synthetic_sequence(
+        n_views=n_frames, n_points=300, seed=2
+    )
+    cfg = dataclasses.replace(
+        pipeline_config, window_size=6, window_mode="slide"
+    )
+    engine = IncrementalSfM(cfg, K, frontend="precomputed")
+    for f in frames:
+        info = engine.process_features(*f)
+    assert not info.get("skipped")
+    locs, rots = engine.poses()
+    assert len(locs) == n_frames
+    ate = umeyama_ate(locs, C_gt)
+    assert ate < 0.1, (ate, locs, C_gt)
+    assert validate_state(engine.state) == []
+    # the map stayed within capacity (evictions compact it)
+    assert int(engine.state.num_points) <= cfg.capacity.max_points
+    assert int(engine.state.num_obs) <= cfg.capacity.max_observations
