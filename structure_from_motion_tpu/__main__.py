@@ -80,13 +80,12 @@ def cmd_reconstruct(args) -> int:
     if not files:
         print(f"no images match {args.images}/{args.pattern}", file=sys.stderr)
         return 2
-    if cfg.window_mode != "slide":
-        files = files[: args.max_views]
-
     K = np.array(
         [[args.fx, 0.0, args.cx], [0.0, args.fy, args.cy], [0.0, 0.0, 1.0]]
     )
     cfg = _build_config(args)
+    if cfg.window_mode != "slide":
+        files = files[: args.max_views]
     os.makedirs(args.out, exist_ok=True)
     with open(os.path.join(args.out, "config.json"), "w") as f:
         f.write(cfg.to_json())

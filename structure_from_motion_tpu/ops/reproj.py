@@ -98,8 +98,50 @@ def observation_residual_jacobians(C: Array, q: Array, X: Array, meas: Array):
     return res, J_cam, dproj_dX
 
 
-# Batched over observations: (O,3),(O,4),(O,3),(O,2) -> (O,2),(O,2,7),(O,2,3)
-batched_residual_jacobians = jax.vmap(observation_residual_jacobians)
+def batched_residual_jacobians(C: Array, q: Array, X: Array, meas: Array):
+    """Residual + Jacobian blocks for ALL observations at once.
+
+    (O,3),(O,4),(O,3),(O,2) -> res (O,2), J_cam (O,2,7), J_pt (O,2,3).
+
+    Identical math to :func:`observation_residual_jacobians` but written as
+    direct batched einsums — the vmapped per-observation form builds its
+    (3, 9) ``dx/dvec(R)`` with nine scatters per observation, which lowers
+    to ~80% of a BA iteration's wall time on TPU (measured 119 ms of a
+    153 ms iteration at 131k observations); this closed form is pure
+    elementwise + (O, small) einsums.
+    """
+    R = quat_to_rotation(q)  # (O, 3, 3)
+    d = X - C  # (O, 3)
+    x = jnp.einsum("oji,oj->oi", R, d)  # R^T d
+    z = jnp.where(jnp.abs(x[..., 2]) < 1e-12, 1e-12, x[..., 2])
+    u = x[..., 0] / z
+    v = x[..., 1] / z
+    proj = jnp.stack([u, v], axis=-1)
+    res = meas - proj
+
+    one = jnp.ones_like(u)
+    zero = jnp.zeros_like(u)
+    dproj_dx = (
+        jnp.stack(
+            [
+                jnp.stack([one, zero, -u], axis=-1),
+                jnp.stack([zero, one, -v], axis=-1),
+            ],
+            axis=-2,
+        )
+        / z[..., None, None]
+    )  # (O, 2, 3)
+
+    dproj_dX = jnp.einsum("oik,ojk->oij", dproj_dx, R)  # dx/dX = R^T
+    dproj_dC = -dproj_dX
+
+    # dx_i/dq_k = sum_j dR_ji/dq_k d_j, from the 9x4 dvec(R)/dq (row-major)
+    dRdq = drotation_dquat(q).reshape(*q.shape[:-1], 3, 3, 4)  # (O,3,3,4)
+    dx_dq = jnp.einsum("ojik,oj->oik", dRdq, d)  # (O, 3, 4)
+    dproj_dq = jnp.einsum("oik,okl->oil", dproj_dx, dx_dq)  # (O, 2, 4)
+
+    J_cam = jnp.concatenate([dproj_dC, dproj_dq], axis=-1)  # (O, 2, 7)
+    return res, J_cam, dproj_dX
 
 
 def pixel_residuals(K: Array, C: Array, q: Array, X: Array, uv: Array):
