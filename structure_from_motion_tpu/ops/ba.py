@@ -106,10 +106,15 @@ def _assemble(state: BAState, obs: BAObservations, config: BAConfig):
 
     # segment sums into camera / point blocks (W stays per-observation —
     # the camera-point coupling is consumed either as a dense (M,V,7,3)
-    # scatter for the small-V exact Schur solve or matrix-free in PCG)
-    U = jnp.zeros((V, 7, 7), state.X.dtype).at[obs.cam].add(UtU)
+    # scatter for the small-V exact Schur solve or matrix-free in PCG).
+    # Camera-axis reductions go through a one-hot matmul: on TPU a scatter
+    # -add over 131k observations costs ~10 ms while the (V, O) x (O, 49)
+    # matmul rides the MXU at ~3.6 ms; the point axis (M large) must stay
+    # a scatter.
+    oh_cam = jax.nn.one_hot(obs.cam, V, dtype=state.X.dtype)  # (O, V)
+    U = jnp.einsum("ov,oij->vij", oh_cam, UtU)
+    b_c = jnp.einsum("ov,oi->vi", oh_cam, bc_o)
     D = jnp.zeros((M, 3, 3), state.X.dtype).at[obs.point].add(DtD)
-    b_c = jnp.zeros((V, 7), state.X.dtype).at[obs.cam].add(bc_o)
     b_p = jnp.zeros((M, 3), state.X.dtype).at[obs.point].add(bp_o)
 
     cost = jnp.sum(res**2)
@@ -172,9 +177,10 @@ def _solve_pcg(U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum, config: BAConfi
     # exact diagonal blocks of the coupling: sum over each camera's own
     # observations of W_o Dinv_{pt(o)} W_o^T  (cross-observation terms of the
     # same (cam, point) pair don't exist: at most one obs per pair)
+    oh_cam = jax.nn.one_hot(obs.cam, V, dtype=dtype)  # (O, V)
     WD = jnp.einsum("oic,ocd->oid", W, Dinv[obs.point])  # (O,7,3)
     diag_o = jnp.einsum("oid,ojd->oij", WD, W)  # (O,7,7)
-    S_diag = jnp.zeros((V, 7, 7), dtype).at[obs.cam].add(diag_o)
+    S_diag = jnp.einsum("ov,oij->vij", oh_cam, diag_o)
     if psum is not None:
         S_diag = psum(S_diag)
     P = U_hat - S_diag  # (V,7,7) block-Jacobi preconditioner
@@ -189,7 +195,7 @@ def _solve_pcg(U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum, config: BAConfi
         g = jnp.zeros((Dinv.shape[0], 3), dtype).at[obs.point].add(t)
         y = jnp.einsum("mcd,md->mc", Dinv, g)  # D^-1 G^T x
         z = jnp.einsum("oic,oc->oi", W, y[obs.point])  # (O,7)
-        coup = jnp.zeros((V, 7), dtype).at[obs.cam].add(z)
+        coup = jnp.einsum("ov,oi->vi", oh_cam, z)  # one-hot matmul, not scatter
         if psum is not None:
             coup = psum(coup)
         out = jnp.einsum("vij,vj->vi", U_hat, xz) - coup
@@ -226,7 +232,8 @@ def _reduce_and_solve(
     # b_red = b_c - G D^-1 b_p, from per-observation W blocks
     y = jnp.einsum("mcd,md->mc", Dinv, b_p)  # (M,3)
     contrib = jnp.einsum("oic,oc->oi", W, y[obs.point])  # (O,7)
-    b_red = b_c - jnp.zeros((V, 7), dtype).at[obs.cam].add(contrib)
+    oh_cam = jax.nn.one_hot(obs.cam, V, dtype=dtype)  # (O, V)
+    b_red = b_c - jnp.einsum("ov,oi->vi", oh_cam, contrib)
     if psum is not None:
         b_red = psum(b_red)
 
