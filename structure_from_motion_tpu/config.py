@@ -137,6 +137,10 @@ class BAConfig:
     fix_first_camera_gauge: bool = False  # reference leaves gauge free
     pcg_fallback_cameras: int = 256  # above this many cameras, solve S by PCG
     pcg_iterations: int = 64
+    # residual/Jacobian/block assembly: "auto" uses the fused Pallas kernel
+    # on TPU (falls back to XLA off-TPU or when the observation capacity is
+    # not tile-aligned); "xla"/"pallas" force a path.
+    assemble_impl: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

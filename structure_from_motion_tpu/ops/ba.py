@@ -82,12 +82,43 @@ def huber_weights(res: Array, delta: float) -> Array:
     return jnp.sqrt(w)
 
 
+def _use_pallas(config: BAConfig, n_obs: int) -> bool:
+    if config.assemble_impl == "pallas":
+        return True
+    return (
+        config.assemble_impl == "auto"
+        and jax.default_backend() == "tpu"
+        and n_obs % 512 == 0
+    )
+
+
 def _assemble(state: BAState, obs: BAObservations, config: BAConfig):
     """Residuals -> all LM blocks. Shard-safe: pure segment-sums over the
-    local observation shard."""
+    local observation shard. On TPU the residual/Jacobian/block-product
+    stage runs as one fused Pallas kernel (``ops/ba_pallas.py``) with the
+    camera-axis reduction accumulated in VMEM."""
     V = state.C.shape[0]
     M = state.X.shape[0]
     w = obs.valid.astype(state.X.dtype)
+
+    if _use_pallas(config, obs.cam.shape[0]):
+        from structure_from_motion_tpu.ops.ba_pallas import pallas_ba_blocks
+
+        U, b_c, DtD, W, bp_o, cost = pallas_ba_blocks(
+            obs.cam,
+            state.C[obs.cam],
+            state.q[obs.cam],
+            state.X[obs.point],
+            obs.uv_norm,
+            w,
+            n_views=V,
+            huber_delta=float(config.huber_delta),
+            interpret=jax.default_backend() == "cpu",
+        )
+        dt = state.X.dtype
+        D = jnp.zeros((M, 3, 3), dt).at[obs.point].add(DtD.astype(dt))
+        b_p = jnp.zeros((M, 3), dt).at[obs.point].add(bp_o.astype(dt))
+        return U.astype(dt), D, W.astype(dt), b_c.astype(dt), b_p, cost.astype(dt)
 
     res, J_cam, J_pt = batched_residual_jacobians(
         state.C[obs.cam], state.q[obs.cam], state.X[obs.point], obs.uv_norm

@@ -200,3 +200,33 @@ def test_ba_pcg_fallback_matches_dense():
     np.testing.assert_allclose(
         np.asarray(out_p.C)[:4], np.asarray(out_d.C)[:4], atol=5e-3
     )
+
+
+def test_pallas_assemble_matches_xla():
+    """The fused Pallas residual/Jacobian/block kernel (interpret mode on
+    CPU) must reproduce the XLA assembly blocks."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from structure_from_motion_tpu.ops.ba import _assemble
+
+    clean, obs, K = make_scene(n_views=4, n_points=60, cap_v=8, cap_m=128, cap_o=1024)
+    noisy = perturb(clean)
+    xla_cfg = BAConfig(huber_delta=0.01, assemble_impl="xla")
+    pl_cfg = BAConfig(huber_delta=0.01, assemble_impl="pallas")
+    out_x = _assemble(noisy, obs, xla_cfg)
+    out_p = _assemble(noisy, obs, pl_cfg)
+    names = ["U", "D", "W", "b_c", "b_p", "cost"]
+    for name, a, b in zip(names, out_x, out_p):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        scale = max(1.0, float(np.abs(a).max()))
+        assert np.abs(a - b).max() < 1e-3 * scale, (name, np.abs(a - b).max())
+
+    # and the full solver run agrees end to end
+    out1, costs1 = run_bundle_adjustment(noisy, obs, xla_cfg)
+    out2, costs2 = run_bundle_adjustment(noisy, obs, pl_cfg)
+    np.testing.assert_allclose(
+        np.asarray(out1.C), np.asarray(out2.C), atol=1e-3
+    )
