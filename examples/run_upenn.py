@@ -112,6 +112,9 @@ def main():
         ))
     total = time.time() - t_start
 
+    costs = engine.finalize(iterations=10)
+    print(f"final BA: cost {costs[0]:.4e} -> {costs[-1]:.4e}, "
+          f"reprojection {engine.reprojection_error():.3f}px")
     locs, rots = engine.poses()
     pts = engine.map_points()
     print(f"\ntotal {total:.2f}s  ({len(files) / total:.3f} frames/s)")

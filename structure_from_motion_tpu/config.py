@@ -215,6 +215,12 @@ class PipelineConfig:
     triangulation_max_error_px: float = 8.0
     # map admission: minimum ray (parallax) angle of a new point (degrees)
     min_parallax_deg: float = 2.0
+    # post-BA track management (absent in the reference: once a bad match
+    # enters its map it poisons BA forever, ba_processor.py:222-261):
+    # observations with reprojection error above this (or negative depth)
+    # are dropped after every BA run, and points left with < 2 supporting
+    # observations die. 0 disables.
+    prune_max_error_px: float = 16.0
 
     # -- (de)serialisation -------------------------------------------------
     def to_json(self) -> str:

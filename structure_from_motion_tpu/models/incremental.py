@@ -194,8 +194,13 @@ def _localize_stage(
     X3d = state.points[flat_pt]
     uv_v_all = state.kp_xy[v][flat_tgt]
 
+    # motion prior: the previous frame's pose seeds a robust-LM candidate
+    # inside estimate_pnp — rescues frames where contamination drops the
+    # RANSAC inlier ratio below what 6-point sampling can survive
     pnp = estimate_pnp(
-        key, X3d, uv_v_all, state.K, flat_mask, config.pnp_ransac, config.pnp_lm
+        key, X3d, uv_v_all, state.K, flat_mask, config.pnp_ransac, config.pnp_lm,
+        prior_R=quat_to_rotation(state.cam_q[v - 1]),
+        prior_C=state.cam_C[v - 1],
     )
     state = tracks.set_camera(state, v, pnp.C, rotation_to_quat(pnp.R))
 
@@ -331,6 +336,10 @@ def _ba_stage(state: SfMState, config: PipelineConfig) -> tuple[SfMState, Array]
     )
     out, costs = run_bundle_adjustment(ba_state, obs, config.ba)
     state = state._replace(cam_C=out.C, cam_q=out.q, points=out.X)
+    if config.prune_max_error_px > 0:
+        state, _, _ = tracks.prune_observations(
+            state, config.prune_max_error_px
+        )
     return state, costs
 
 
@@ -541,6 +550,20 @@ class IncrementalSfM:
         return info
 
     # -- results -----------------------------------------------------------
+    def finalize(self, iterations: int = 10):
+        """Final global bundle adjustment with a larger iteration budget
+        (the per-frame BA runs config.ba.iterations, default 3 — the
+        reference's fixed count, ba_processor.py:24). Returns the
+        per-iteration costs. One extra compile on first use."""
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            self.config,
+            ba=dataclasses.replace(self.config.ba, iterations=iterations),
+        )
+        self.state, costs = _ba_stage(self.state, config=cfg)
+        return np.asarray(costs)
+
     def reprojection_error(self) -> float:
         """Mean pixel reprojection error over all observations (one sync)."""
         return float(self._jit_reproj(self.state))

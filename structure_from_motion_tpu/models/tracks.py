@@ -322,3 +322,48 @@ def evict_oldest_view(state: SfMState):
         num_obs=n_obs,
     )
     return state, ev_C, ev_q
+
+
+def prune_observations(state: SfMState, max_err_px: float):
+    """Drop observations whose pixel reprojection error exceeds
+    ``max_err_px`` and kill map points left with fewer than two supporting
+    observations (they cannot be triangulated and only mislead PnP).
+
+    The reference has no outlier management once a point enters the map —
+    bad matches poison its BA forever (ba_processor.py:222-261). Returns
+    (state, num_dropped_obs, num_dropped_points).
+    """
+    from structure_from_motion_tpu.ops.reproj import pixel_residuals
+
+    res, depth = pixel_residuals(
+        state.K,
+        state.cam_C[state.obs_cam],
+        state.cam_q[state.obs_cam],
+        state.points[state.obs_pt],
+        state.obs_uv,
+    )
+    err = jnp.linalg.norm(res, axis=-1)
+    keep = jnp.logical_and(
+        state.obs_valid, jnp.logical_and(err <= max_err_px, depth > 0)
+    )
+    n_dropped = jnp.sum(state.obs_valid) - jnp.sum(keep)
+
+    M = state.points.shape[0]
+    counts = jnp.zeros((M,), jnp.int32).at[
+        jnp.where(keep, state.obs_pt, M - 1)
+    ].add(jnp.where(keep, 1, 0))
+    pt_valid = jnp.logical_and(state.pt_valid, counts >= 2)
+    n_pts_dropped = jnp.sum(state.pt_valid) - jnp.sum(pt_valid)
+    # observations of dead points die too
+    keep = jnp.logical_and(keep, pt_valid[state.obs_pt])
+    # tri_index entries for dead points are cleared
+    safe_tri = jnp.maximum(state.tri_index, 0)
+    tri_index = jnp.where(
+        jnp.logical_and(state.tri_index >= 0, pt_valid[safe_tri]),
+        state.tri_index,
+        -1,
+    )
+    state = state._replace(
+        obs_valid=keep, pt_valid=pt_valid, tri_index=tri_index
+    )
+    return state, n_dropped, n_pts_dropped

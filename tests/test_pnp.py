@@ -170,3 +170,47 @@ def test_refine_pnp_recovers_from_perturbation(upenn_K):
     ang, loc = pose_errors(R, C, R_true, C_true)
     assert ang < 0.01, ang
     assert loc < 1e-3, loc
+
+
+def test_motion_prior_rescues_contaminated_set():
+    """At ~25% inlier ratio a 6-point RANSAC rarely draws a clean sample;
+    the Huber-LM candidate seeded from a nearby prior pose must rescue the
+    localisation (deliberate improvement over the reference, which has no
+    fallback path)."""
+    import jax
+
+    from structure_from_motion_tpu.config import LMConfig, RansacConfig
+    from structure_from_motion_tpu.ops.pnp import estimate_pnp
+
+    rng = np.random.default_rng(4)
+    K = np.array([[500.0, 0, 320.0], [0, 500.0, 240.0], [0, 0, 1.0]])
+    n_in, n_out = 60, 180  # 25% inliers
+    X_in = rng.uniform([-3, -3, 8], [3, 3, 16], size=(n_in, 3))
+    R_true = ScipyRotation.from_rotvec([0.02, -0.05, 0.01]).as_matrix()
+    C_true = np.array([1.0, 0.2, 0.3])
+    Xc = (R_true.T @ (X_in - C_true).T).T
+    uv_in = (Xc[:, :2] / Xc[:, 2:3]) * [500, 500] + [320, 240]
+    # outliers: random 3D paired with random pixels
+    X_out = rng.uniform([-3, -3, 8], [3, 3, 16], size=(n_out, 3))
+    uv_out = rng.uniform([0, 0], [640, 480], size=(n_out, 2))
+    X = np.vstack([X_in, X_out])
+    uv = np.vstack([uv_in, uv_out])
+    mask = np.ones(n_in + n_out, bool)
+
+    prior_R = ScipyRotation.from_rotvec([0.0, -0.04, 0.0]).as_matrix()
+    prior_C = np.array([0.9, 0.15, 0.25])  # ~0.1 units off
+
+    cfg_r = RansacConfig(inlier_threshold=4.0, sample_num=6, iteration=256)
+    cfg_lm = LMConfig(damping=5.0, iterations=100)
+    res = estimate_pnp(
+        jax.random.key(0), jnp.asarray(X), jnp.asarray(uv), jnp.asarray(K),
+        jnp.asarray(mask), cfg_r, cfg_lm,
+        prior_R=jnp.asarray(prior_R), prior_C=jnp.asarray(prior_C),
+    )
+    C_err = np.linalg.norm(np.asarray(res.C) - C_true)
+    R_err = ScipyRotation.from_matrix(
+        np.asarray(res.R) @ R_true.T
+    ).magnitude()
+    assert C_err < 0.05, C_err
+    assert np.degrees(R_err) < 1.0
+    assert int(res.num_inliers) >= 0.9 * n_in
