@@ -41,6 +41,7 @@ from structure_from_motion_tpu.ops.campose import (
     candidate_projections,
     decompose_essential,
     disambiguate_poses,
+    refine_relative_pose,
 )
 from structure_from_motion_tpu.ops.epipolar import (
     essential_from_fundamental,
@@ -133,13 +134,24 @@ def _bootstrap_stage(state: SfMState, key: Array, config: PipelineConfig) -> tup
     )(P_cands)  # (4, K, 4)
 
     best, counts, cheir_ok = disambiguate_poses(P_ref, P_cands, X4, valid)
-    R1, C1 = cands.R[best], cands.C[best]
+
+    # essential-manifold refinement of the winning (R, t): the 8-point
+    # F -> E chain leaves ~10 deg of translation-direction error on real
+    # pairs; Gauss-Newton on the Sampson error closes it (ops/campose.py)
+    x1n = normalized_camera_coords(state.K, ref_xy)
+    x2n = normalized_camera_coords(state.K, que_xy)
+    R1, t1, C1 = refine_relative_pose(
+        cands.R[best], cands.t[best], x1n, x2n,
+        jnp.logical_and(valid, F.inliers),
+    )
     state = tracks.set_camera(state, 1, C1, rotation_to_quat(R1))
 
-    P1 = P_cands[best]
+    P1 = camera_projection(state.K, R1, C1)
+    # re-triangulate with the refined pose
+    X2 = linear_triangulate(jnp.stack([P_ref, P1]), uv, obs_mask)
     refine_mask = jnp.stack([cheir_ok, cheir_ok], axis=1)
     Xh = refine_triangulate(
-        jnp.stack([P_ref, P1]), uv, refine_mask, X4[best], config.triangulation_lm
+        jnp.stack([P_ref, P1]), uv, refine_mask, X2, config.triangulation_lm
     )
 
     # map admission gate: cheirality AND epipolar inlier (improvement: the
