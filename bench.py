@@ -46,13 +46,40 @@ def bench_ba_iters_per_s():
 
     iters = 20
     cfg = BAConfig(iterations=iters, damping=5.0, huber_delta=0.01)
-    state, obs = ge._synthetic_ba_problem()
+    state, obs = ge._synthetic_ba_problem(
+        n_views=6, n_points=1024, cap_v=8, cap_m=1024, cap_o=8192
+    )
     f = jax.jit(lambda s, o: run_bundle_adjustment(s, o, cfg)[1])
     # NOTE: timings end with a real scalar fetch — on the tunnelled TPU
     # backend block_until_ready returns before execution finishes, so a
     # device->host read is the only honest barrier.
     float(f(state, obs)[-1])  # compile + execute
     n_rep = 5
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        costs = f(state, obs)
+    float(costs[-1])
+    dt = (time.perf_counter() - t0) / n_rep
+    return iters / dt
+
+
+def bench_ba_large():
+    """BA iterations/s at production scale: 32 cams, 16k points, 131k obs
+    (exact Schur; the matrix-free PCG path covers larger camera counts)."""
+    import jax
+
+    import __graft_entry__ as ge
+    from structure_from_motion_tpu.config import BAConfig
+    from structure_from_motion_tpu.ops.ba import run_bundle_adjustment
+
+    iters = 5
+    cfg = BAConfig(iterations=iters, damping=5.0, huber_delta=0.01)
+    state, obs = ge._synthetic_ba_problem(
+        n_views=32, n_points=16384, cap_v=32, cap_m=16384, cap_o=131072
+    )
+    f = jax.jit(lambda s, o: run_bundle_adjustment(s, o, cfg)[1])
+    float(f(state, obs)[-1])  # compile + execute
+    n_rep = 3
     t0 = time.perf_counter()
     for _ in range(n_rep):
         costs = f(state, obs)
@@ -142,9 +169,11 @@ def bench_pipeline():
 def main():
     t_start = time.time()
     ba_iters = bench_ba_iters_per_s()
+    ba_iters_large = bench_ba_large()
     frames_per_s, extras = (float("nan"), {})
     if os.path.isdir(UPENN):
         frames_per_s, extras = bench_pipeline()
+    extras["ba_iters_per_s_32cam_131k_obs"] = round(ba_iters_large, 2)
 
     ref_fps = REFERENCE_FRAMES / REFERENCE_SECONDS
     result = {
