@@ -69,6 +69,35 @@ def _blur(img: Array, sigma: float) -> Array:
     return x[0, 0]
 
 
+def _blur_levels(base: Array, rel_sigmas: list) -> Array:
+    """All pyramid levels of one octave in TWO grouped convolutions.
+
+    ``base`` (H, W) is level 0; level i = gaussian(base, rel_sigmas[i-1])
+    (Gaussian semigroup: blurring the base by sqrt(sig_i^2 - sig_0^2)
+    equals the incremental-blur chain). Kernels are zero-padded to a shared
+    width so one (L-1)-channel separable conv pair replaces 2(L-1)
+    single-channel convs — single-channel (1,1,H,W) convolutions lower
+    poorly on TPU (measured: the blur chain was ~60 ms of a 119 ms detect).
+    """
+    ks = [_gaussian_kernel1d(s) for s in rel_sigmas]
+    radius = max((k.shape[0] - 1) // 2 for k in ks)
+    width = 2 * radius + 1
+    ks = [
+        jnp.pad(k, ((width - k.shape[0]) // 2,) * 2) for k in ks
+    ]
+    L = len(ks)
+    kh = jnp.stack(ks).reshape(L, 1, 1, width)
+    kv = jnp.stack(ks).reshape(L, 1, width, 1)
+    x = base[None, None, :, :]  # (1, 1, H, W)
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), [(0, 0), (radius, radius)]
+    )  # (1, L, H, W)
+    x = jax.lax.conv_general_dilated(
+        x, kv, (1, 1), [(radius, radius), (0, 0)], feature_group_count=L
+    )
+    return jnp.concatenate([base[None], x[0]], axis=0)  # (L+1, H, W)
+
+
 def _downsample2(img: Array) -> Array:
     return img[::2, ::2]
 
@@ -490,11 +519,6 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
     n_levels = S + 3
     k_per_level = 2.0 ** (1.0 / S)
     sigmas = [cfg.sigma0 * (k_per_level**i) for i in range(n_levels)]
-    # incremental blur amounts between consecutive levels
-    increments = [
-        math.sqrt(max(sigmas[i + 1] ** 2 - sigmas[i] ** 2, 1e-6))
-        for i in range(n_levels - 1)
-    ]
 
     # -- phase 1: cheap candidate detection per octave ----------------------
     # (extrema maps + top-k on responses; NO descriptor work yet — the
@@ -504,12 +528,14 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
     H0, W0 = img.shape
     all_x, all_y, all_sidx, all_resp, all_ok, gauss_octs = [], [], [], [], [], []
 
+    # relative sigmas of levels 1..n-1 w.r.t. level 0 (Gaussian semigroup)
+    rel_sigmas = [
+        math.sqrt(max(sigmas[i] ** 2 - sigmas[0] ** 2, 1e-6))
+        for i in range(1, n_levels)
+    ]
     base = _blur(img, cfg.sigma0)
     for o in range(cfg.num_octaves):
-        levels = [base]
-        for i in range(n_levels - 1):
-            levels.append(_blur(levels[-1], increments[i]))
-        gauss = jnp.stack(levels)  # (S+3, H_o, W_o)
+        gauss = _blur_levels(base, rel_sigmas)  # (S+3, H_o, W_o)
         gauss_octs.append(gauss)
 
         x, y, s_idx, resp, ok = _octave_candidates(gauss, cfg, per_octave_k)
@@ -519,7 +545,7 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
         all_resp.append(resp)
         all_ok.append(ok)
         # next octave: downsample the level with sigma = 2 sigma0
-        base = _downsample2(levels[S])
+        base = _downsample2(gauss[S])
 
     x = jnp.concatenate(all_x)  # octave-local coords
     y = jnp.concatenate(all_y)
