@@ -92,3 +92,59 @@ def test_checkpoint_roundtrip(tmp_path):
     assert frame == 2
     for f in st._fields:
         np.testing.assert_array_equal(np.asarray(getattr(st, f)), np.asarray(getattr(st2, f)))
+
+
+def test_checkpoint_resume_equivalence():
+    """Interrupt-and-resume must reproduce the uninterrupted reconstruction
+    exactly: process 2 frames, checkpoint, restore into a FRESH engine,
+    continue — poses and map match the straight-through run bitwise (same
+    per-frame PRNG keys are derived from the frame index)."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from structure_from_motion_tpu.models import IncrementalSfM
+    from structure_from_motion_tpu.utils.checkpoint import load_state, save_state
+    from test_incremental import pipeline_config as _cfg_fixture  # noqa: F401
+    from test_incremental import synthetic_sequence
+    from structure_from_motion_tpu.config import (
+        BAConfig, CapacityConfig, FrontendConfig, LMConfig, MatcherConfig,
+        PipelineConfig, RansacConfig,
+    )
+
+    cfg = PipelineConfig(
+        frontend=FrontendConfig(max_keypoints=512),
+        matcher=MatcherConfig(ratio=0.9),
+        fundamental_ransac=RansacConfig(inlier_threshold=2.0, iteration=128),
+        pnp_ransac=RansacConfig(inlier_threshold=8.0, sample_num=6, iteration=256),
+        pnp_lm=LMConfig(damping=5.0, iterations=50),
+        triangulation_lm=LMConfig(damping=5.0, iterations=25),
+        ba=BAConfig(iterations=3, damping=5.0),
+        capacity=CapacityConfig(
+            max_views=8, max_keypoints=512, max_points=2048, max_observations=8192
+        ),
+    )
+    K, frames, *_ = synthetic_sequence(n_views=4)
+
+    full = IncrementalSfM(cfg, K, frontend="precomputed", seed=0)
+    for f in frames:
+        full.process_features(*f)
+
+    first = IncrementalSfM(cfg, K, frontend="precomputed", seed=0)
+    for f in frames[:2]:
+        first.process_features(*f)
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/state.npz"
+        save_state(path, first.state, frame=2)
+        resumed = IncrementalSfM(cfg, K, frontend="precomputed", seed=0)
+        resumed.state, resumed._frame = load_state(path)
+        for f in frames[2:]:
+            resumed.process_features(*f)
+
+    np.testing.assert_array_equal(
+        np.asarray(full.state.cam_C), np.asarray(resumed.state.cam_C)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full.state.points), np.asarray(resumed.state.points)
+    )
+    assert int(full.state.num_points) == int(resumed.state.num_points)
