@@ -74,7 +74,6 @@ def cmd_reconstruct(args) -> int:
 
     from structure_from_motion_tpu.io import load_image_grayscale
     from structure_from_motion_tpu.models import IncrementalSfM
-    from structure_from_motion_tpu.utils import checkpoint as ckpt
 
     files = sorted(glob.glob(os.path.join(args.images, args.pattern)))
     if not files:
@@ -94,8 +93,7 @@ def cmd_reconstruct(args) -> int:
     start = 0
     ckpt_path = os.path.join(args.out, "state.npz")
     if args.resume and os.path.exists(ckpt_path):
-        engine.state, start = ckpt.load_state(ckpt_path)
-        engine._frame = start
+        start = engine.load_checkpoint(ckpt_path)
         print(f"resumed at frame {start}")
 
     t0 = time.time()
@@ -109,7 +107,7 @@ def cmd_reconstruct(args) -> int:
         )
         print(f"{os.path.basename(path)}: {time.time() - t1:.2f}s  {msg}")
         if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
-            ckpt.save_state(ckpt_path, engine.state, i + 1)
+            engine.save_checkpoint(ckpt_path)
     total = time.time() - t0
 
     locs, rots = engine.poses()
@@ -120,7 +118,7 @@ def cmd_reconstruct(args) -> int:
         rotations=rots,
         points=pts,
     )
-    ckpt.save_state(ckpt_path, engine.state, len(files))
+    engine.save_checkpoint(ckpt_path)
     print(
         f"\n{len(files)} frames in {total:.2f}s ({len(files)/total:.3f} frames/s); "
         f"{len(pts)} map points -> {args.out}/reconstruction.npz"

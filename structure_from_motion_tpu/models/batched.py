@@ -62,6 +62,12 @@ class BatchedIncrementalSfM:
     ):
         if config.frontend.max_keypoints != config.capacity.max_keypoints:
             raise ValueError("frontend.max_keypoints must equal capacity.max_keypoints")
+        if config.window_mode == "slide":
+            raise NotImplementedError(
+                "BatchedIncrementalSfM does not implement sliding-window "
+                "eviction; use window_mode='stop' or the single-sequence "
+                "IncrementalSfM for long sequences"
+            )
         self.config = config
         self.batch = batch
         self.frontend = frontend

@@ -561,6 +561,22 @@ class IncrementalSfM:
             info["reprojection_px"] = float(info["reprojection_px"])
         return info
 
+    # -- checkpointing -------------------------------------------------------
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the COMPLETE engine: device state, frame counter, and the
+        sliding-window pose archive (without which a slide-mode resume would
+        silently drop every evicted camera from :meth:`poses`)."""
+        from structure_from_motion_tpu.utils import checkpoint as ckpt
+
+        ckpt.save_state(path, self.state, self._frame, archive=self._archive)
+
+    def load_checkpoint(self, path: str) -> int:
+        """Restore :meth:`save_checkpoint` output; returns the resume frame."""
+        from structure_from_motion_tpu.utils import checkpoint as ckpt
+
+        self.state, self._frame, self._archive = ckpt.load_state(path)
+        return self._frame
+
     # -- results -----------------------------------------------------------
     def finalize(self, iterations: int = 10):
         """Final global bundle adjustment with a larger iteration budget

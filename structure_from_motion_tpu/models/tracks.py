@@ -221,6 +221,62 @@ def find_best_view(state: SfMState, v: Array) -> Array:
     return jnp.argmax(counts).astype(jnp.int32)
 
 
+def compact_state(state: SfMState) -> SfMState:
+    """Stable-compact the point and observation stores.
+
+    Given the current validity masks, moves every valid point/observation to
+    the front of its store, remaps all ``tri_index``/``obs_pt`` references
+    through the new ids, drops observations of invalid points, and resets
+    ``num_points``/``num_obs`` to the valid counts — so freed capacity is
+    reusable and the ``num_points == pt_valid.sum()`` invariant holds.
+    Jit-safe; shared by :func:`evict_oldest_view` and
+    :func:`prune_observations`.
+    """
+    M = state.points.shape[0]
+    O = state.obs_cam.shape[0]
+    pt_valid = state.pt_valid
+
+    new_id = jnp.cumsum(pt_valid.astype(jnp.int32)) - 1  # (M,)
+    n_pts = jnp.sum(pt_valid, dtype=jnp.int32)
+    dest_pt = jnp.where(pt_valid, new_id, M)
+    points = jnp.zeros_like(state.points).at[dest_pt].set(
+        state.points, mode="drop"
+    )
+    pt_valid_c = jnp.zeros_like(pt_valid).at[dest_pt].set(pt_valid, mode="drop")
+    remap = jnp.where(pt_valid, new_id, -1)  # (M,) old -> new or -1
+
+    safe_tri = jnp.maximum(state.tri_index, 0)
+    tri_index = jnp.where(state.tri_index >= 0, remap[safe_tri], -1)
+
+    keep_obs = jnp.logical_and(state.obs_valid, remap[state.obs_pt] >= 0)
+    obs_rank = jnp.cumsum(keep_obs.astype(jnp.int32)) - 1
+    n_obs = jnp.sum(keep_obs, dtype=jnp.int32)
+    dest_o = jnp.where(keep_obs, obs_rank, O)
+    obs_cam_c = jnp.zeros_like(state.obs_cam).at[dest_o].set(
+        state.obs_cam, mode="drop"
+    )
+    obs_pt_c = jnp.zeros_like(state.obs_pt).at[dest_o].set(
+        remap[state.obs_pt].astype(jnp.int32), mode="drop"
+    )
+    obs_uv_c = jnp.zeros_like(state.obs_uv).at[dest_o].set(
+        state.obs_uv, mode="drop"
+    )
+    obs_valid_c = jnp.zeros_like(state.obs_valid).at[dest_o].set(
+        keep_obs, mode="drop"
+    )
+    return state._replace(
+        tri_index=tri_index,
+        points=points,
+        pt_valid=pt_valid_c,
+        num_points=n_pts,
+        obs_cam=obs_cam_c,
+        obs_pt=obs_pt_c,
+        obs_uv=obs_uv_c,
+        obs_valid=obs_valid_c,
+        num_obs=n_obs,
+    )
+
+
 def evict_oldest_view(state: SfMState):
     """Slide the window: drop view 0, shift every view down by one.
 
@@ -239,7 +295,6 @@ def evict_oldest_view(state: SfMState):
     """
     V, Kk = state.tri_index.shape
     M = state.points.shape[0]
-    O = state.obs_cam.shape[0]
     ev_C, ev_q = state.cam_C[0], state.cam_q[0]
 
     def shift0(x, fill):
@@ -263,45 +318,13 @@ def evict_oldest_view(state: SfMState):
 
     # drop evicted view's observations, shift camera ids
     keep_obs = jnp.logical_and(state.obs_valid, state.obs_cam != 0)
-    obs_cam = state.obs_cam - 1
+    obs_cam = (state.obs_cam - 1).astype(jnp.int32)
 
     # kill points with no remaining observations
     counts = jnp.zeros((M,), jnp.int32).at[
         jnp.where(keep_obs, state.obs_pt, M - 1)
     ].add(jnp.where(keep_obs, 1, 0))
     pt_valid = jnp.logical_and(state.pt_valid, counts > 0)
-
-    # compact the point store; build old->new id map
-    new_id = jnp.cumsum(pt_valid.astype(jnp.int32)) - 1  # (M,)
-    n_pts = jnp.sum(pt_valid, dtype=jnp.int32)
-    dest_pt = jnp.where(pt_valid, new_id, M)
-    points = jnp.zeros_like(state.points).at[dest_pt].set(
-        state.points, mode="drop"
-    )
-    pt_valid_c = jnp.zeros_like(pt_valid).at[dest_pt].set(pt_valid, mode="drop")
-    remap = jnp.where(pt_valid, new_id, -1)  # (M,) old -> new or -1
-
-    # remap tri_index through the point map
-    safe_tri = jnp.maximum(tri_index, 0)
-    tri_index = jnp.where(tri_index >= 0, remap[safe_tri], -1)
-
-    # drop observations of dead points, remap ids, compact the store
-    keep_obs = jnp.logical_and(keep_obs, remap[state.obs_pt] >= 0)
-    obs_rank = jnp.cumsum(keep_obs.astype(jnp.int32)) - 1
-    n_obs = jnp.sum(keep_obs, dtype=jnp.int32)
-    dest_o = jnp.where(keep_obs, obs_rank, O)
-    obs_cam_c = jnp.zeros_like(state.obs_cam).at[dest_o].set(
-        obs_cam.astype(jnp.int32), mode="drop"
-    )
-    obs_pt_c = jnp.zeros_like(state.obs_pt).at[dest_o].set(
-        remap[state.obs_pt].astype(jnp.int32), mode="drop"
-    )
-    obs_uv_c = jnp.zeros_like(state.obs_uv).at[dest_o].set(
-        state.obs_uv, mode="drop"
-    )
-    obs_valid_c = jnp.zeros_like(state.obs_valid).at[dest_o].set(
-        keep_obs, mode="drop"
-    )
 
     state = state._replace(
         kp_xy=kp_xy,
@@ -312,16 +335,11 @@ def evict_oldest_view(state: SfMState):
         cam_C=cam_C,
         cam_q=cam_q,
         cam_valid=cam_valid,
-        points=points,
-        pt_valid=pt_valid_c,
-        num_points=n_pts,
-        obs_cam=obs_cam_c,
-        obs_pt=obs_pt_c,
-        obs_uv=obs_uv_c,
-        obs_valid=obs_valid_c,
-        num_obs=n_obs,
+        pt_valid=pt_valid,
+        obs_cam=obs_cam,
+        obs_valid=keep_obs,
     )
-    return state, ev_C, ev_q
+    return compact_state(state), ev_C, ev_q
 
 
 def prune_observations(state: SfMState, max_err_px: float):
@@ -354,16 +372,9 @@ def prune_observations(state: SfMState, max_err_px: float):
     ].add(jnp.where(keep, 1, 0))
     pt_valid = jnp.logical_and(state.pt_valid, counts >= 2)
     n_pts_dropped = jnp.sum(state.pt_valid) - jnp.sum(pt_valid)
-    # observations of dead points die too
-    keep = jnp.logical_and(keep, pt_valid[state.obs_pt])
-    # tri_index entries for dead points are cleared
-    safe_tri = jnp.maximum(state.tri_index, 0)
-    tri_index = jnp.where(
-        jnp.logical_and(state.tri_index >= 0, pt_valid[safe_tri]),
-        state.tri_index,
-        -1,
-    )
-    state = state._replace(
-        obs_valid=keep, pt_valid=pt_valid, tri_index=tri_index
-    )
+    # compact_state drops observations of dead points, clears their
+    # tri_index entries, and reclaims the freed point/observation slots
+    # (without compaction pruned slots would leak for the rest of the
+    # sequence and num_points would drift from pt_valid.sum())
+    state = compact_state(state._replace(obs_valid=keep, pt_valid=pt_valid))
     return state, n_dropped, n_pts_dropped

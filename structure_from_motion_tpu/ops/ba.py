@@ -84,6 +84,11 @@ def huber_weights(res: Array, delta: float) -> Array:
 
 def _use_pallas(config: BAConfig, n_obs: int) -> bool:
     if config.assemble_impl == "pallas":
+        if n_obs % 512 != 0:
+            raise ValueError(
+                "assemble_impl='pallas' requires the observation capacity to "
+                f"be a multiple of the 512-row kernel tile; got {n_obs}"
+            )
         return True
     return (
         config.assemble_impl == "auto"
@@ -113,7 +118,9 @@ def _assemble(state: BAState, obs: BAObservations, config: BAConfig):
             w,
             n_views=V,
             huber_delta=float(config.huber_delta),
-            interpret=jax.default_backend() == "cpu",
+            # the Mosaic kernel only lowers on TPU; every other backend
+            # (cpu test meshes, gpu) runs the interpreter
+            interpret=jax.default_backend() != "tpu",
         )
         dt = state.X.dtype
         D = jnp.zeros((M, 3, 3), dt).at[obs.point].add(DtD.astype(dt))

@@ -270,9 +270,6 @@ def estimate_pnp(
 
     if prior_R is not None:
         # Huber width = the RANSAC inlier threshold, in normalised units.
-        # Small fixed damping (not lm_config's reference-parity lambda=5):
-        # normalised-coordinate JtJ entries are tiny, so lambda=5 makes LM
-        # take near-zero steps and the candidate never leaves the prior.
         fx = K[..., 0, 0]
         delta_n = ransac_config.inlier_threshold / fx  # traced (K is)
         # Fixed heavy damping (lambda=5) is deliberate: it acts as a trust

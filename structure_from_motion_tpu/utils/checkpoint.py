@@ -16,24 +16,41 @@ import numpy as np
 from structure_from_motion_tpu.models.tracks import SfMState
 
 
-def save_state(path: str, state: SfMState, frame: int) -> None:
-    """Write the full pipeline state to one ``.npz`` file."""
+def save_state(path: str, state: SfMState, frame: int, archive=None) -> None:
+    """Write the full pipeline state to one ``.npz`` file.
+
+    ``archive``: optional sequence of ``(C (3,), q (4,))`` pose pairs evicted
+    by sliding-window mode (``IncrementalSfM._archive``). Without it a resume
+    in slide mode would silently forget every pre-eviction camera pose.
+    """
     arrays = {f: np.asarray(getattr(state, f)) for f in state._fields}
     arrays["__frame"] = np.asarray(frame)
+    if archive:
+        arrays["__archive_C"] = np.stack([np.asarray(c) for c, _ in archive])
+        arrays["__archive_q"] = np.stack([np.asarray(q) for _, q in archive])
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez_compressed(f, **arrays)
     os.replace(tmp, path)
 
 
-def load_state(path: str) -> tuple[SfMState, int]:
-    """Load a state written by :func:`save_state`."""
+def load_state(path: str) -> tuple[SfMState, int, list]:
+    """Load a state written by :func:`save_state`.
+
+    Returns ``(state, frame, archive)`` where ``archive`` is a list of
+    ``(C, q)`` device-array pairs (empty when no poses were archived).
+    """
     import jax.numpy as jnp
 
     with np.load(path) as data:
         frame = int(data["__frame"])
         fields = {f: jnp.asarray(data[f]) for f in SfMState._fields}
-    return SfMState(**fields), frame
+        archive = []
+        if "__archive_C" in data:
+            aC = jnp.asarray(data["__archive_C"])
+            aq = jnp.asarray(data["__archive_q"])
+            archive = [(aC[i], aq[i]) for i in range(aC.shape[0])]
+    return SfMState(**fields), frame, archive
 
 
 def save_features_cache(path: str, xy, desc, valid) -> None:

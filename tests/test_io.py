@@ -88,8 +88,9 @@ def test_checkpoint_roundtrip(tmp_path):
                      num_points=jnp.asarray(4, jnp.int32))
     path = str(tmp_path / "state.npz")
     save_state(path, st, frame=2)
-    st2, frame = load_state(path)
+    st2, frame, archive = load_state(path)
     assert frame == 2
+    assert archive == []
     for f in st._fields:
         np.testing.assert_array_equal(np.asarray(getattr(st, f)), np.asarray(getattr(st2, f)))
 
@@ -137,7 +138,7 @@ def test_checkpoint_resume_equivalence():
         path = f"{d}/state.npz"
         save_state(path, first.state, frame=2)
         resumed = IncrementalSfM(cfg, K, frontend="precomputed", seed=0)
-        resumed.state, resumed._frame = load_state(path)
+        resumed.state, resumed._frame, resumed._archive = load_state(path)
         for f in frames[2:]:
             resumed.process_features(*f)
 
@@ -148,3 +149,100 @@ def test_checkpoint_resume_equivalence():
         np.asarray(full.state.points), np.asarray(resumed.state.points)
     )
     assert int(full.state.num_points) == int(resumed.state.num_points)
+
+
+def test_checkpoint_resume_sliding_window_archive():
+    """Resume in slide mode must preserve the eviction archive: 7 frames
+    through a 4-view window (3 evictions), checkpointing mid-way AFTER the
+    first eviction — the resumed engine's full trajectory (archived +
+    live poses) must equal the straight-through run bitwise."""
+    import tempfile
+
+    import dataclasses
+
+    from structure_from_motion_tpu.models import IncrementalSfM
+    from test_incremental import synthetic_sequence
+    from structure_from_motion_tpu.config import (
+        BAConfig, CapacityConfig, FrontendConfig, LMConfig, MatcherConfig,
+        PipelineConfig, RansacConfig,
+    )
+
+    cfg = PipelineConfig(
+        frontend=FrontendConfig(max_keypoints=512),
+        matcher=MatcherConfig(ratio=0.9),
+        fundamental_ransac=RansacConfig(inlier_threshold=2.0, iteration=128),
+        pnp_ransac=RansacConfig(inlier_threshold=8.0, sample_num=6, iteration=256),
+        pnp_lm=LMConfig(damping=5.0, iterations=50),
+        triangulation_lm=LMConfig(damping=5.0, iterations=25),
+        ba=BAConfig(iterations=3, damping=5.0),
+        capacity=CapacityConfig(
+            max_views=4, max_keypoints=512, max_points=2048, max_observations=8192
+        ),
+        window_size=4,
+        window_mode="slide",
+    )
+    K, frames, *_ = synthetic_sequence(n_views=7)
+
+    full = IncrementalSfM(cfg, K, frontend="precomputed", seed=0)
+    for f in frames:
+        full.process_features(*f)
+    locs_full, rots_full = full.poses()
+    assert locs_full.shape[0] == 7  # archive (3) + live window (4)
+
+    first = IncrementalSfM(cfg, K, frontend="precomputed", seed=0)
+    for f in frames[:5]:  # crosses one eviction (frame 4)
+        first.process_features(*f)
+    assert len(first._archive) == 1
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/state.npz"
+        first.save_checkpoint(path)
+        resumed = IncrementalSfM(cfg, K, frontend="precomputed", seed=0)
+        assert resumed.load_checkpoint(path) == 5
+        assert len(resumed._archive) == 1
+        for f in frames[5:]:  # two more evictions
+            resumed.process_features(*f)
+    locs_res, rots_res = resumed.poses()
+    np.testing.assert_array_equal(locs_full, locs_res)
+    np.testing.assert_array_equal(rots_full, rots_res)
+
+
+def test_prune_compacts_stores():
+    """prune_observations must reclaim dropped point/observation slots and
+    keep num_points == pt_valid.sum() (the validate_state invariant)."""
+    import jax.numpy as jnp
+
+    from structure_from_motion_tpu.config import CapacityConfig
+    from structure_from_motion_tpu.models import tracks
+    from structure_from_motion_tpu.utils.debug import validate_state
+
+    cap = CapacityConfig(max_views=4, max_keypoints=64, max_points=64, max_observations=256)
+    st = tracks.init_state(cap, np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1]]))
+    st = tracks.set_camera(st, 0, jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]))
+    st = tracks.set_camera(st, 1, jnp.asarray([1.0, 0, 0]), jnp.asarray([1.0, 0, 0, 0]))
+    # 3 points in front of both cameras; give each 2 observations at the
+    # true projections, then poison point 1's observations
+    X = np.array([[0.0, 0, 5], [1.0, 1, 6], [-1.0, 0.5, 7]])
+    st, ids = tracks.allocate_points(st, jnp.asarray(X), jnp.ones(3, bool))
+    for cam, C in ((0, np.zeros(3)), (1, np.array([1.0, 0, 0]))):
+        uvs = []
+        for x in X:
+            xc = x - C
+            uvs.append([100 * xc[0] / xc[2] + 32, 100 * xc[1] / xc[2] + 32])
+        uvs = np.asarray(uvs)
+        if cam == 1:
+            uvs[1] += 500.0  # poison point 1 in view 1 -> huge reproj error
+        st = tracks.append_observations(
+            st, jnp.full(3, cam), ids, jnp.asarray(uvs), jnp.ones(3, bool)
+        )
+    assert int(st.num_obs) == 6 and int(st.num_points) == 3
+    st2, n_obs_dropped, n_pts_dropped = tracks.prune_observations(st, 4.0)
+    # point 1 loses one obs -> only 1 support left -> the point dies,
+    # taking its remaining observation with it
+    assert int(n_obs_dropped) == 1
+    assert int(n_pts_dropped) == 1
+    assert int(st2.num_points) == 2 == int(np.asarray(st2.pt_valid).sum())
+    assert int(st2.num_obs) == 4 == int(np.asarray(st2.obs_valid).sum())
+    # compaction means the next allocation reuses the freed slot
+    assert validate_state(st2._replace(cam_valid=st2.cam_valid)) == []
+    st3, _ = tracks.allocate_points(st2, jnp.ones((1, 3)), jnp.ones(1, bool))
+    assert int(st3.num_points) == 3
