@@ -63,6 +63,7 @@ def _build_config(args) -> "PipelineConfig":
         ),
         window_size=args.max_views,
         window_mode=args.window_mode,
+        ba_num_shards=args.ba_shards,
     )
 
 
@@ -201,6 +202,11 @@ def main(argv=None) -> int:
     )
     r.add_argument("--max-points", type=int, default=16384)
     r.add_argument("--max-observations", type=int, default=65536)
+    r.add_argument(
+        "--ba-shards", type=int, default=1,
+        help="shard BA points/observations over this many local devices "
+             "(distributed Schur LM; 1 = single device)",
+    )
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--device", choices=["cpu", "tpu", ""], default="")
     r.add_argument("--resume", action="store_true")

@@ -221,6 +221,13 @@ class PipelineConfig:
     # are dropped after every BA run, and points left with < 2 supporting
     # observations die. 0 disables.
     prune_max_error_px: float = 16.0
+    # distributed bundle adjustment: shard map points + observations over the
+    # first N local devices (parallel/ba_sharded.py); cameras replicate and
+    # the reduced camera system is psum-reduced once per LM iteration. 1 =
+    # single-device. Requires capacity.max_points and max_observations to be
+    # divisible by N. The reference has no distributed backend at all
+    # (SURVEY.md section 5); this is the BASELINE.json north-star axis.
+    ba_num_shards: int = 1
 
     # -- (de)serialisation -------------------------------------------------
     def to_json(self) -> str:

@@ -331,8 +331,17 @@ def _triangulate_new_flat(
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _ba_stage(state: SfMState, config: PipelineConfig) -> tuple[SfMState, Array]:
-    """Global bundle adjustment over all valid views/points/observations."""
+def _ba_stage(state: SfMState, config: PipelineConfig) -> tuple[SfMState, Array, Array]:
+    """Global bundle adjustment over all valid views/points/observations.
+
+    With ``config.ba_num_shards > 1`` this IS the distributed path: map
+    points and observations shard round-robin over the first N local
+    devices (``parallel/ba_sharded.py``), cameras replicate, and each LM
+    iteration psums one (7V, 7V)-sized reduced system over the mesh — the
+    BASELINE.json north-star layout, running inside the same fused frame
+    program. Returns (state, per-iteration costs, obs dropped by partition
+    overflow — 0 unless a shard's observation bucket is undersized).
+    """
     ba_state = BAState(
         C=state.cam_C,
         q=state.cam_q,
@@ -346,13 +355,35 @@ def _ba_stage(state: SfMState, config: PipelineConfig) -> tuple[SfMState, Array]
         uv_norm=normalized_camera_coords(state.K, state.obs_uv),
         valid=state.obs_valid,
     )
-    out, costs = run_bundle_adjustment(ba_state, obs, config.ba)
+    dropped = jnp.asarray(0, jnp.int32)
+    if config.ba_num_shards > 1:
+        from structure_from_motion_tpu.parallel.ba_sharded import (
+            deinterleave_points,
+            interleave_points,
+            partition_observations,
+            sharded_bundle_adjustment,
+        )
+        from structure_from_motion_tpu.parallel.mesh import make_mesh
+
+        S = config.ba_num_shards
+        M = state.points.shape[0]
+        O = state.obs_cam.shape[0]
+        part = partition_observations(obs, M, S, O // S, interleave=True)
+        dropped = (jnp.sum(obs.valid) - jnp.sum(part.valid)).astype(jnp.int32)
+        st_p = ba_state._replace(
+            X=interleave_points(ba_state.X, S),
+            pt_valid=interleave_points(ba_state.pt_valid, S),
+        )
+        out, costs = sharded_bundle_adjustment(st_p, part, config.ba, make_mesh(S))
+        out = out._replace(X=deinterleave_points(out.X, S))
+    else:
+        out, costs = run_bundle_adjustment(ba_state, obs, config.ba)
     state = state._replace(cam_C=out.C, cam_q=out.q, points=out.X)
     if config.prune_max_error_px > 0:
         state, _, _ = tracks.prune_observations(
             state, config.prune_max_error_px
         )
-    return state, costs
+    return state, costs, dropped
 
 
 def pipeline_reprojection_error(state: SfMState) -> Array:
@@ -389,6 +420,7 @@ def _zero_info(state: SfMState, config: PipelineConfig) -> dict:
         "pnp_inliers": i32,
         "new_points": i32,
         "ba_costs": jnp.zeros((config.ba.iterations,), state.points.dtype),
+        "ba_dropped_obs": i32,
     }
 
 
@@ -429,7 +461,7 @@ def _frame_step(
 
     def frame_n(st, k):
         st, si = _localize_stage(st, v, k, config=config)
-        st, costs = _ba_stage(st, config=config)
+        st, costs, ba_dropped = _ba_stage(st, config=config)
         info = _zero_info(st, config)
         info.update(
             matches=si["matches"].astype(jnp.int32),
@@ -437,6 +469,7 @@ def _frame_step(
             pnp_inliers=si["pnp_inliers"].astype(jnp.int32),
             new_points=si["new_points"].astype(jnp.int32),
             ba_costs=costs,
+            ba_dropped_obs=ba_dropped,
         )
         return st, info
 
@@ -477,6 +510,14 @@ class IncrementalSfM:
     ):
         if config.frontend.max_keypoints != config.capacity.max_keypoints:
             raise ValueError("frontend.max_keypoints must equal capacity.max_keypoints")
+        if config.ba_num_shards > 1 and (
+            config.capacity.max_points % config.ba_num_shards
+            or config.capacity.max_observations % config.ba_num_shards
+        ):
+            raise ValueError(
+                "capacity.max_points and max_observations must be divisible "
+                f"by ba_num_shards={config.ba_num_shards}"
+            )
         self.config = config
         # collect_metrics=False keeps every per-frame stat as an unsynced
         # device array so frames enqueue asynchronously — on a remote-tunnel
@@ -589,7 +630,7 @@ class IncrementalSfM:
             self.config,
             ba=dataclasses.replace(self.config.ba, iterations=iterations),
         )
-        self.state, costs = _ba_stage(self.state, config=cfg)
+        self.state, costs, _ = _ba_stage(self.state, config=cfg)
         return np.asarray(costs)
 
     def reprojection_error(self) -> float:

@@ -7,6 +7,13 @@ single-threaded NumPy). This package is the greenfield scaling layer:
 
 from structure_from_motion_tpu.parallel.mesh import make_mesh, make_mesh_2d  # noqa: F401
 from structure_from_motion_tpu.parallel.ba_sharded import (  # noqa: F401
+    deinterleave_points,
+    interleave_points,
     partition_observations,
     sharded_bundle_adjustment,
+)
+from structure_from_motion_tpu.parallel.distributed import (  # noqa: F401
+    initialize_distributed,
+    process_topology,
+    shutdown_distributed,
 )

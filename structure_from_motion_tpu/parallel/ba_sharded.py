@@ -38,17 +38,46 @@ from structure_from_motion_tpu.ops.ba import (
 )
 
 
+def interleave_points(x: Array, num_shards: int) -> Array:
+    """Permute a point-axis array so global point id p lands on shard
+    ``p % num_shards`` at local offset ``p // num_shards``.
+
+    Round-robin placement balances *sequentially allocated* point ids (the
+    incremental pipeline allocates map slots in order, so a block partition
+    would pile every early observation onto shard 0 and overflow its
+    bucket). The output block-reshapes onto the mesh point axis; pair with
+    ``partition_observations(..., interleave=True)``.
+    """
+    M = x.shape[0]
+    return x.reshape((M // num_shards, num_shards) + x.shape[1:]).swapaxes(
+        0, 1
+    ).reshape(x.shape)
+
+
+def deinterleave_points(x: Array, num_shards: int) -> Array:
+    """Inverse of :func:`interleave_points`."""
+    M = x.shape[0]
+    return x.reshape((num_shards, M // num_shards) + x.shape[1:]).swapaxes(
+        0, 1
+    ).reshape(x.shape)
+
+
 def partition_observations(
     obs: BAObservations,
     num_points: int,
     num_shards: int,
     per_shard_capacity: int,
+    interleave: bool = False,
 ) -> BAObservations:
     """Rearrange observations into per-point-shard buckets.
 
-    Points are block-partitioned: shard s owns points
-    ``[s * M/num_shards, (s+1) * M/num_shards)``. Every observation is routed
-    to its point's shard and its point index rewritten to shard-local.
+    With ``interleave=False`` points are block-partitioned: shard s owns
+    points ``[s * M/num_shards, (s+1) * M/num_shards)``. With
+    ``interleave=True`` shard s owns points ``p`` with ``p % num_shards == s``
+    (local id ``p // num_shards``) — the balanced layout for sequentially
+    allocated ids; the point arrays must then be permuted with
+    :func:`interleave_points`. Every observation is routed to its point's
+    shard and its point index rewritten to shard-local.
     Output arrays have shape (num_shards * per_shard_capacity, ...) so that
     a plain block reshape matches the mesh sharding; overflowing
     observations (more than ``per_shard_capacity`` on one shard) are dropped
@@ -60,7 +89,10 @@ def partition_observations(
         raise ValueError(f"{num_points=} not divisible by {num_shards=}")
     pts_per_shard = num_points // num_shards
 
-    shard = obs.point // pts_per_shard  # (O,)
+    if interleave:
+        shard = obs.point % num_shards  # (O,)
+    else:
+        shard = obs.point // pts_per_shard  # (O,)
     shard = jnp.where(obs.valid, shard, num_shards)  # invalid -> overflow bin
     # position of each obs within its shard bucket (stable order)
     one_hot = jax.nn.one_hot(shard, num_shards + 1, dtype=jnp.int32)  # (O,S+1)
@@ -71,10 +103,13 @@ def partition_observations(
     dest = shard * per_shard_capacity + jnp.minimum(pos, per_shard_capacity - 1)
     dest = jnp.where(keep, dest, num_shards * per_shard_capacity)  # scratch slot
 
+    local_pt = (
+        obs.point // num_shards if interleave else obs.point - shard * pts_per_shard
+    )
     total = num_shards * per_shard_capacity
     cam = jnp.zeros((total + 1,), jnp.int32).at[dest].set(obs.cam.astype(jnp.int32))
     pt = jnp.zeros((total + 1,), jnp.int32).at[dest].set(
-        (obs.point - shard * pts_per_shard).astype(jnp.int32)
+        local_pt.astype(jnp.int32)
     )
     uv = jnp.zeros((total + 1, 2), obs.uv_norm.dtype).at[dest].set(obs.uv_norm)
     valid = jnp.zeros((total + 1,), bool).at[dest].set(keep)

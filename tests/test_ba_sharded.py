@@ -120,6 +120,112 @@ def test_sharded_2d_mesh_hosts_by_chips():
     )
 
 
+def test_interleaved_partition_matches_single_device():
+    """Round-robin point placement (the balanced layout the pipeline uses
+    for sequentially allocated map ids) must reproduce the block-partition
+    result: permute X/pt_valid with interleave_points, run sharded BA,
+    un-permute."""
+    from structure_from_motion_tpu.parallel import (
+        deinterleave_points,
+        interleave_points,
+    )
+
+    clean, obs, K = make_scene(cap_m=128, cap_o=1024)
+    noisy = perturb(clean, seed=11)
+    cfg = BAConfig(iterations=8, damping=5.0, fix_first_camera_gauge=True)
+    out_single, costs_single = run_bundle_adjustment(noisy, obs, cfg)
+
+    S = 8
+    mesh = make_mesh(S)
+    part = partition_observations(
+        obs, num_points=128, num_shards=S, per_shard_capacity=128,
+        interleave=True,
+    )
+    assert int(part.valid.sum()) == int(obs.valid.sum())
+    noisy_p = noisy._replace(
+        X=interleave_points(noisy.X, S),
+        pt_valid=interleave_points(noisy.pt_valid, S),
+    )
+    out_shard, costs_shard = sharded_bundle_adjustment(noisy_p, part, cfg, mesh)
+    X_back = deinterleave_points(out_shard.X, S)
+    np.testing.assert_allclose(
+        np.asarray(costs_shard), np.asarray(costs_single), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_shard.C), np.asarray(out_single.C), atol=1e-8
+    )
+    np.testing.assert_allclose(np.asarray(X_back), np.asarray(out_single.X), atol=1e-8)
+
+
+def test_interleave_points_roundtrip():
+    from structure_from_motion_tpu.parallel import (
+        deinterleave_points,
+        interleave_points,
+    )
+
+    x = jnp.arange(24.0).reshape(12, 2)
+    for s in (1, 2, 3, 4, 6):
+        y = interleave_points(x, s)
+        np.testing.assert_array_equal(np.asarray(deinterleave_points(y, s)), np.asarray(x))
+    # shard 1 of 4 owns global ids 1, 5, 9 at local offsets 0, 1, 2
+    y = np.asarray(interleave_points(x, 4))
+    np.testing.assert_array_equal(y[3:6], np.asarray(x)[[1, 5, 9]])
+
+
+def test_pipeline_with_sharded_ba_matches_single_device():
+    """End-to-end: the flagship IncrementalSfM run with ba_num_shards=8
+    (distributed Schur LM inside the fused frame program) must reproduce
+    the single-device reconstruction to reduction-order tolerance."""
+    import dataclasses
+
+    from structure_from_motion_tpu.models import IncrementalSfM
+    from test_incremental import synthetic_sequence
+    from structure_from_motion_tpu.config import (
+        BAConfig as _BAConfig,
+        CapacityConfig,
+        FrontendConfig,
+        LMConfig,
+        MatcherConfig,
+        PipelineConfig,
+        RansacConfig,
+    )
+
+    cfg = PipelineConfig(
+        frontend=FrontendConfig(max_keypoints=256),
+        matcher=MatcherConfig(ratio=0.9),
+        fundamental_ransac=RansacConfig(inlier_threshold=2.0, iteration=128),
+        pnp_ransac=RansacConfig(inlier_threshold=8.0, sample_num=6, iteration=256),
+        pnp_lm=LMConfig(damping=5.0, iterations=50),
+        triangulation_lm=LMConfig(damping=5.0, iterations=25),
+        ba=_BAConfig(iterations=3, damping=5.0),
+        capacity=CapacityConfig(
+            max_views=8, max_keypoints=256, max_points=1024, max_observations=4096
+        ),
+    )
+    K, frames, C_gt, *_ = synthetic_sequence(n_views=4, n_points=200, kp_cap=256)
+
+    single = IncrementalSfM(cfg, K, frontend="precomputed", seed=0)
+    sharded = IncrementalSfM(
+        dataclasses.replace(cfg, ba_num_shards=8), K, frontend="precomputed", seed=0
+    )
+    for f in frames:
+        i1 = single.process_features(*f)
+        i8 = sharded.process_features(*f)
+        assert int(i8.get("ba_dropped_obs", 0)) == 0
+    np.testing.assert_allclose(
+        np.asarray(sharded.state.cam_C),
+        np.asarray(single.state.cam_C),
+        atol=1e-4,
+    )
+    assert int(sharded.state.num_points) == int(single.state.num_points)
+    assert abs(sharded.reprojection_error() - single.reprojection_error()) < 1e-3
+    # and both actually solve the scene
+    from test_incremental import umeyama_ate
+
+    locs, _ = sharded.poses()
+    assert umeyama_ate(locs, C_gt[: len(locs)]) < 0.05
+
+
 def test_sharded_pcg_matches_single_device():
     """Sharded matrix-free PCG (the large-V path) against the single-device
     dense solve."""
