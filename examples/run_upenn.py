@@ -66,6 +66,9 @@ def main():
     ap.add_argument("--max-kp", type=int, default=2048)
     ap.add_argument("--frames", type=int, default=6)
     ap.add_argument("--dataset", default="/root/reference/test_dataset/upenn")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--upsample", action="store_true",
+                    help="2x-upsampled first octave (cv2-SIFT parity)")
     args = ap.parse_args()
 
     import jax
@@ -84,7 +87,11 @@ def main():
     from structure_from_motion_tpu.models import IncrementalSfM
 
     cfg = PipelineConfig(
-        frontend=FrontendConfig(max_keypoints=args.max_kp),
+        frontend=FrontendConfig(
+            max_keypoints=args.max_kp,
+            upsample_first_octave=args.upsample,
+            num_octaves=5 if args.upsample else 4,
+        ),
         capacity=CapacityConfig(
             max_views=8, max_keypoints=args.max_kp, max_points=8192,
             max_observations=32768,
@@ -92,7 +99,8 @@ def main():
     )
     K = upenn_intrinsics()
     engine = IncrementalSfM(
-        cfg, K, frontend="native" if args.frontend == "native" else "precomputed"
+        cfg, K, frontend="native" if args.frontend == "native" else "precomputed",
+        seed=args.seed,
     )
 
     files = [f"image{i:07d}.bmp" for i in range(1, args.frames + 1)]

@@ -80,6 +80,10 @@ class FrontendConfig:
     detector: str = "dog"  # "dog" | "harris" | "oracle_sift" (tests only)
     max_keypoints: int = 2048
     num_octaves: int = 4
+    # detect octave -1 on a 2x bilinear-upsampled image (cv2-SIFT's default
+    # behaviour): fine keypoints localise to half-pixel precision at the
+    # cost of one 4x-sized pyramid level
+    upsample_first_octave: bool = False
     scales_per_octave: int = 3
     sigma0: float = 1.6
     contrast_threshold: float = 0.015

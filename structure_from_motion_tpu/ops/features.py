@@ -138,15 +138,86 @@ def _edge_response_ok(layer: Array, edge_threshold: float) -> Array:
     return jnp.logical_and(det > 0, tr * tr * r < (r + 1.0) ** 2 * det)
 
 
-def _subpixel_offset(layer: Array) -> tuple[Array, Array]:
-    """Per-pixel 2D quadratic offsets (dx, dy) from the DoG derivatives."""
-    dx = 0.5 * (jnp.roll(layer, -1, 1) - jnp.roll(layer, 1, 1))
-    dy = 0.5 * (jnp.roll(layer, -1, 0) - jnp.roll(layer, 1, 0))
-    dxx = jnp.roll(layer, -1, 1) - 2 * layer + jnp.roll(layer, 1, 1)
-    dyy = jnp.roll(layer, -1, 0) - 2 * layer + jnp.roll(layer, 1, 0)
-    off_x = jnp.where(jnp.abs(dxx) > 1e-8, -dx / dxx, 0.0)
-    off_y = jnp.where(jnp.abs(dyy) > 1e-8, -dy / dyy, 0.0)
-    return jnp.clip(off_x, -0.5, 0.5), jnp.clip(off_y, -0.5, 0.5)
+def _subpixel_offset_3d(
+    dog: Array, s_idx: Array, yy: Array, xx: Array
+) -> tuple[Array, Array, Array]:
+    """Full 3-D (x, y, scale) quadratic refinement at selected candidates.
+
+    Lowe's interpolation (the part the cv2-SIFT oracle has and a 2-D-only
+    fit lacks): gather the 3x3x3 DoG neighbourhood of each candidate, build
+    the gradient and FULL Hessian (including the dxy/dxs/dys cross terms),
+    and take one Newton step ``delta = -H^-1 g``. The scale offset feeds the
+    orientation/descriptor support radius, which is where most of the
+    match-precision win comes from. Offsets are clipped to +-0.5 (candidates
+    further off-centre than half a cell belong to a neighbouring extremum);
+    a degenerate Hessian falls back to a zero offset.
+
+    Lowe iterates: when a component of the Newton step exceeds 0.5 the true
+    extremum belongs to a neighbouring sample, so the integer position is
+    relocated and the fit repeated (two relocation rounds here, then a final
+    fit whose offsets are clipped to +-0.5). ``dog``: (S+2, H, W); ``s_idx``
+    in [0, S) indexes layer ``1 + s_idx`` (always has both scale
+    neighbours); ``yy``/``xx`` are >= ``border`` from the image edge by
+    construction.
+
+    Returns (dx, dy, ds, moved_x, moved_y, moved_s): fractional offsets
+    relative to the (possibly relocated) integer position plus the integer
+    relocation itself.
+    """
+    h, w = dog.shape[1], dog.shape[2]
+    s_layers = dog.shape[0] - 2
+    flat = dog.reshape(-1)
+    hw = h * w
+    border = 2  # relocation only needs derivative support, not descriptor's
+
+    def fit(s_i, y_i, x_i):
+        base = (1 + s_i) * hw + y_i * w + x_i
+
+        def tap(ds, dy, dx):
+            return flat[base + ds * hw + dy * w + dx]
+
+        c = tap(0, 0, 0)
+        gx = 0.5 * (tap(0, 0, 1) - tap(0, 0, -1))
+        gy = 0.5 * (tap(0, 1, 0) - tap(0, -1, 0))
+        gs = 0.5 * (tap(1, 0, 0) - tap(-1, 0, 0))
+        hxx = tap(0, 0, 1) - 2 * c + tap(0, 0, -1)
+        hyy = tap(0, 1, 0) - 2 * c + tap(0, -1, 0)
+        hss = tap(1, 0, 0) - 2 * c + tap(-1, 0, 0)
+        hxy = 0.25 * (tap(0, 1, 1) - tap(0, 1, -1) - tap(0, -1, 1) + tap(0, -1, -1))
+        hxs = 0.25 * (tap(1, 0, 1) - tap(1, 0, -1) - tap(-1, 0, 1) + tap(-1, 0, -1))
+        hys = 0.25 * (tap(1, 1, 0) - tap(1, -1, 0) - tap(-1, 1, 0) + tap(-1, -1, 0))
+
+        g = jnp.stack([gx, gy, gs], axis=-1)  # (n, 3)
+        H = jnp.stack(
+            [
+                jnp.stack([hxx, hxy, hxs], axis=-1),
+                jnp.stack([hxy, hyy, hys], axis=-1),
+                jnp.stack([hxs, hys, hss], axis=-1),
+            ],
+            axis=-2,
+        )  # (n, 3, 3)
+        # tiny Tikhonov keeps the batched solve finite on flat
+        # neighbourhoods; non-finite results fall back to zero offset
+        eye = jnp.eye(3, dtype=dog.dtype) * 1e-12
+        delta = jnp.linalg.solve(H + eye, -g[..., None])[..., 0]
+        return jnp.where(jnp.isfinite(delta), delta, 0.0)
+
+    s_i, y_i, x_i = s_idx, yy, xx
+    for _ in range(2):  # relocation rounds
+        delta = fit(s_i, y_i, x_i)
+        move = jnp.round(jnp.clip(delta, -1.0, 1.0)).astype(jnp.int32)
+        x_i = jnp.clip(x_i + move[..., 0], border, w - 1 - border)
+        y_i = jnp.clip(y_i + move[..., 1], border, h - 1 - border)
+        s_i = jnp.clip(s_i + move[..., 2], 0, s_layers - 1)
+    delta = jnp.clip(fit(s_i, y_i, x_i), -0.5, 0.5)
+    return (
+        delta[..., 0],
+        delta[..., 1],
+        delta[..., 2],
+        x_i - xx,
+        y_i - yy,
+        s_i - s_idx,
+    )
 
 
 def _bilinear_sample(img: Array, x: Array, y: Array) -> Array:
@@ -179,8 +250,9 @@ def _bilinear_sample(img: Array, x: Array, y: Array) -> Array:
 def _octave_candidates(gauss: Array, cfg: FrontendConfig, per_octave_k: int):
     """One octave: (S+3, H, W) gaussian stack -> fixed-size candidate set.
 
-    Returns (x, y, scale_idx, response, valid) each (per_octave_k,), with
-    subpixel-refined octave-pixel coordinates.
+    Returns (x, y, scale_idx, scale_offset, response, valid) each
+    (per_octave_k,), with 3-D (x, y, sigma) subpixel-refined octave-pixel
+    coordinates (``scale_offset`` is the fractional level offset).
     """
     dog = gauss[1:] - gauss[:-1]  # (S+2, H, W)
     s_layers = dog.shape[0] - 2
@@ -204,24 +276,23 @@ def _octave_candidates(gauss: Array, cfg: FrontendConfig, per_octave_k: int):
     yy = rem // w
     xx = rem % w
 
-    # subpixel refinement on the layer each candidate came from
-    offs = [_subpixel_offset(dog[1 + s]) for s in range(s_layers)]
-    off_x = jnp.stack([o[0] for o in offs])  # (S, H, W)
-    off_y = jnp.stack([o[1] for o in offs])
-    ox = off_x[s_idx, yy, xx]
-    oy = off_y[s_idx, yy, xx]
+    # 3-D subpixel refinement (with integer relocation) at the selected
+    # candidates only
+    ox, oy, osc, mx, my, ms = _subpixel_offset_3d(dog, s_idx, yy, xx)
+    s_idx = s_idx + ms
 
-    x = xx.astype(jnp.float32) + ox
-    y = yy.astype(jnp.float32) + oy
+    x = (xx + mx).astype(jnp.float32) + ox
+    y = (yy + my).astype(jnp.float32) + oy
     ok = top_resp > 0.0
     if k < per_octave_k:
         pad = per_octave_k - k
         x = jnp.pad(x, (0, pad))
         y = jnp.pad(y, (0, pad))
         s_idx = jnp.pad(s_idx, (0, pad))
+        osc = jnp.pad(osc, (0, pad))
         top_resp = jnp.pad(top_resp, (0, pad))
         ok = jnp.pad(ok, (0, pad))
-    return x, y, s_idx, top_resp, ok
+    return x, y, s_idx, osc, top_resp, ok
 
 
 def _bilinear_sample_flat(
@@ -263,44 +334,53 @@ def _bilinear_sample_flat(
     )
 
 
-def _orientation_and_descriptor_selected(
-    gauss_octs: list,
-    oct_idx: Array,
-    s_idx: Array,
-    x: Array,
-    y: Array,
-    valid: Array,
-    sigmas: tuple,
-):
-    """Orientation + 128-d descriptor for the globally selected keypoints.
+class _FlatPyramid(NamedTuple):
+    """Per-octave gaussian stacks flattened into one 1-D gradient buffer so
+    every read over selected keypoints is a single gather — the per-level
+    masked gather loop this replaces dominated the whole detect stage
+    (measured ~7x on TPU at 1024 keypoints)."""
 
-    ``gauss_octs``: per-octave (S+3, H_o, W_o) gaussian stacks; keypoints in
-    octave-local pixel coords with their (octave, level) indices. Same math
-    as the reference-era per-octave path, but the pyramid is flattened into
-    one 1-D buffer so every read is a single gather over exactly the
-    selected keypoints — the detect stage's cost drops ~7x at 1024
-    keypoints (measured on TPU: the per-level masked gather loop dominated
-    the whole pipeline), and memory stays at the unpadded pyramid size.
-    """
-    n = x.shape[0]
-    # per-octave gradient maps, flattened and concatenated
+    gx: Array  # flat x-gradients of every octave stack
+    gy: Array  # flat y-gradients
+    base: Array  # (n,) flat offset of each keypoint's octave
+    h: Array  # (n,) octave image height
+    w: Array  # (n,) octave image width
+    hw: Array  # (n,) h * w
+
+
+def _flat_pyramid(gauss_octs: list, oct_idx: Array) -> _FlatPyramid:
+    import numpy as _np
+
     gx_flat = jnp.concatenate(
         [(0.5 * (jnp.roll(g, -1, 2) - jnp.roll(g, 1, 2))).reshape(-1) for g in gauss_octs]
     )
     gy_flat = jnp.concatenate(
         [(0.5 * (jnp.roll(g, -1, 1) - jnp.roll(g, 1, 1))).reshape(-1) for g in gauss_octs]
     )
-    import numpy as _np
-
     sizes = [g.shape[1] * g.shape[2] for g in gauss_octs]  # H_o * W_o (static)
     bases = _np.cumsum([0] + [g.size for g in gauss_octs])[:-1]
-    oct_h = jnp.asarray([g.shape[1] for g in gauss_octs], jnp.int32)[oct_idx]
-    oct_w = jnp.asarray([g.shape[2] for g in gauss_octs], jnp.int32)[oct_idx]
-    oct_hw = jnp.asarray(sizes, jnp.int32)[oct_idx]
-    base = jnp.asarray(bases, jnp.int32)[oct_idx]
-    sig = jnp.asarray(sigmas, dtype=jnp.float32)[s_idx]  # (n,) octave sigma
+    return _FlatPyramid(
+        gx=gx_flat,
+        gy=gy_flat,
+        base=jnp.asarray(bases, jnp.int32)[oct_idx],
+        h=jnp.asarray([g.shape[1] for g in gauss_octs], jnp.int32)[oct_idx],
+        w=jnp.asarray([g.shape[2] for g in gauss_octs], jnp.int32)[oct_idx],
+        hw=jnp.asarray(sizes, jnp.int32)[oct_idx],
+    )
 
-    # ---- orientation: 16x16 grid, radius 4.5 sigma -----------------------
+
+def _orientation_peaks(
+    pyr: _FlatPyramid, s_lvl: Array, x: Array, y: Array, sig: Array
+) -> tuple[Array, Array, Array]:
+    """Dominant orientations from a 36-bin gradient histogram.
+
+    Lowe keeps EVERY local peak within 80% of the maximum as a separate
+    keypoint (~15% of points get a second orientation; dropping them was
+    measurably costing cross-view matches). Static shapes cap this at two:
+    returns (angle1, angle2, has2) where ``angle2`` is the best secondary
+    local maximum and ``has2`` whether it clears 0.8 * peak. Both peak
+    positions are refined by parabolic interpolation of the histogram.
+    """
     G = 16
     lin = (jnp.arange(G, dtype=jnp.float32) - (G - 1) / 2.0) / ((G - 1) / 2.0)
     gyy, gxx = jnp.meshgrid(lin, lin, indexing="ij")  # [-1, 1]
@@ -308,10 +388,13 @@ def _orientation_and_descriptor_selected(
     sx = x[:, None] + rad[:, None] * gxx.reshape(-1)[None, :]  # (n, G*G)
     sy = y[:, None] + rad[:, None] * gyy.reshape(-1)[None, :]
 
-    gxs = _bilinear_sample_flat(gx_flat, base, s_idx, sx, sy, oct_h, oct_w, oct_hw)
-    gys = _bilinear_sample_flat(gy_flat, base, s_idx, sx, sy, oct_h, oct_w, oct_hw)
+    gxs = _bilinear_sample_flat(pyr.gx, pyr.base, s_lvl, sx, sy, pyr.h, pyr.w, pyr.hw)
+    gys = _bilinear_sample_flat(pyr.gy, pyr.base, s_lvl, sx, sy, pyr.h, pyr.w, pyr.hw)
     mag = jnp.sqrt(gxs**2 + gys**2)
     ang = jnp.arctan2(gys, gxs)  # [-pi, pi]
+    # Gaussian window sigma = 2.25 sigma_kp (wider than Lowe's 1.5 sigma:
+    # with only a 16x16 sample grid the narrow window starves the histogram
+    # — measured +0.15 px reprojection on upenn)
     wgt = jnp.exp(
         -(gxx.reshape(-1)[None, :] ** 2 + gyy.reshape(-1)[None, :] ** 2)
         / (2 * 0.5**2)
@@ -321,10 +404,63 @@ def _orientation_and_descriptor_selected(
     onehot = jax.nn.one_hot(b, hist_bins, dtype=jnp.float32)  # (n, G*G, 36)
     hist = jnp.einsum("nk,nkb->nb", mag * wgt, onehot)
     hist = (jnp.roll(hist, 1, axis=1) + hist + jnp.roll(hist, -1, axis=1)) / 3.0
-    peak = jnp.argmax(hist, axis=1)
-    angle = (peak.astype(jnp.float32) + 0.5) / hist_bins * 2 * jnp.pi - jnp.pi
 
-    # ---- descriptor: rotated 16x16 grid, 4x4 cells x 8 orientations ------
+    left = jnp.roll(hist, 1, axis=1)
+    right = jnp.roll(hist, -1, axis=1)
+
+    def peak_angle(p):
+        l = jnp.take_along_axis(left, p[:, None], 1)[:, 0]
+        r = jnp.take_along_axis(right, p[:, None], 1)[:, 0]
+        v = jnp.take_along_axis(hist, p[:, None], 1)[:, 0]
+        denom = l - 2 * v + r
+        off = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l - r) / denom, 0.0)
+        off = jnp.clip(off, -0.5, 0.5)
+        return (
+            (p.astype(jnp.float32) + 0.5 + off) / hist_bins * 2 * jnp.pi - jnp.pi
+        )
+
+    peak1 = jnp.argmax(hist, axis=1)
+    v1 = jnp.max(hist, axis=1)
+    # secondary: best circular local maximum that is not (a neighbour of)
+    # the primary bin
+    is_local_max = (hist >= left) & (hist >= right)
+    bins = jnp.arange(hist_bins)[None, :]
+    d = jnp.abs(bins - peak1[:, None])
+    near1 = jnp.minimum(d, hist_bins - d) <= 1
+    cand = jnp.where(is_local_max & ~near1, hist, -1.0)
+    peak2 = jnp.argmax(cand, axis=1)
+    v2 = jnp.max(cand, axis=1)
+    has2 = v2 >= 0.8 * v1
+    return peak_angle(peak1), peak_angle(peak2), has2
+
+
+# bilinear spatial cell weights of the 16x16 descriptor grid: sample row i
+# sits at cell coordinate (i + 0.5)/4 - 0.5 and contributes linearly to its
+# two nearest cell rows (Lowe's trilinear binning; a hard 4x4 assignment
+# makes descriptor entries jump when a gradient crosses a cell border).
+# Static (256, 16) matrix, computed once at trace time.
+def _spatial_weights(D: int) -> jnp.ndarray:
+    import numpy as _np
+
+    pos = (_np.arange(D) + 0.5) / (D / 4) - 0.5  # cell coords
+    wrow = _np.maximum(0.0, 1.0 - _np.abs(pos[:, None] - _np.arange(4)[None, :]))
+    spatial = _np.einsum("ya,xb->yxab", wrow, wrow).reshape(D * D, 16)
+    return jnp.asarray(spatial, jnp.float32)
+
+
+def _descriptors_for(
+    pyr: _FlatPyramid,
+    s_lvl: Array,
+    x: Array,
+    y: Array,
+    sig: Array,
+    angle: Array,
+    valid: Array,
+) -> Array:
+    """128-d SIFT-style descriptor on a rotated 16x16 grid: 4x4 spatial
+    cells (bilinear-weighted) x 8 orientation bins (linear-weighted),
+    Gaussian-windowed, L2 -> clip 0.2 -> re-L2 normalised."""
+    n = x.shape[0]
     D = 16
     step = 0.75  # sample spacing in units of sigma
     dlin = (jnp.arange(D, dtype=jnp.float32) - (D - 1) / 2.0) * step
@@ -334,15 +470,12 @@ def _orientation_and_descriptor_selected(
     ca, sa = jnp.cos(angle)[:, None], jnp.sin(angle)[:, None]
     rx = x[:, None] + ca * gridx - sa * gridy
     ry = y[:, None] + sa * gridx + ca * gridy
-    gxd = _bilinear_sample_flat(gx_flat, base, s_idx, rx, ry, oct_h, oct_w, oct_hw)
-    gyd = _bilinear_sample_flat(gy_flat, base, s_idx, rx, ry, oct_h, oct_w, oct_hw)
+    gxd = _bilinear_sample_flat(pyr.gx, pyr.base, s_lvl, rx, ry, pyr.h, pyr.w, pyr.hw)
+    gyd = _bilinear_sample_flat(pyr.gy, pyr.base, s_lvl, rx, ry, pyr.h, pyr.w, pyr.hw)
     magd = jnp.sqrt(gxd**2 + gyd**2)
     angd = jnp.arctan2(gyd, gxd) - angle[:, None]
 
-    cell = (jnp.arange(D) // (D // 4)).astype(jnp.int32)
-    cell_y, cell_x = jnp.meshgrid(cell, cell, indexing="ij")
-    cell_id = (cell_y * 4 + cell_x).reshape(-1)  # (256,)
-    spatial = jax.nn.one_hot(cell_id, 16, dtype=jnp.float32)  # (256, 16)
+    spatial = _spatial_weights(D)  # (256, 16) bilinear cell weights
 
     ob = (angd + 2 * jnp.pi) % (2 * jnp.pi) / (2 * jnp.pi) * 8.0
     b0 = jnp.floor(ob).astype(jnp.int32) % 8
@@ -360,8 +493,7 @@ def _orientation_and_descriptor_selected(
     desc = jnp.minimum(desc, 0.2)
     desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-9)
     desc = desc * 512.0
-    desc = jnp.where(valid[:, None], desc, 0.0)
-    return angle, desc
+    return jnp.where(valid[:, None], desc, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -533,15 +665,24 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
         math.sqrt(max(sigmas[i] ** 2 - sigmas[0] ** 2, 1e-6))
         for i in range(1, n_levels)
     ]
-    base = _blur(img, cfg.sigma0)
+    all_soff = []
+    if cfg.upsample_first_octave:
+        # cv2-SIFT's octave -1: 2x bilinear upsample (the input is assumed
+        # to carry sigma = 0.5 of blur, so the doubled image carries 1.0 and
+        # the incremental blur to sigma0 is sqrt(sigma0^2 - 1))
+        img = jax.image.resize(img, (H0 * 2, W0 * 2), "linear")
+        base = _blur(img, math.sqrt(max(cfg.sigma0**2 - 1.0, 0.01)))
+    else:
+        base = _blur(img, cfg.sigma0)
     for o in range(cfg.num_octaves):
         gauss = _blur_levels(base, rel_sigmas)  # (S+3, H_o, W_o)
         gauss_octs.append(gauss)
 
-        x, y, s_idx, resp, ok = _octave_candidates(gauss, cfg, per_octave_k)
+        x, y, s_idx, soff, resp, ok = _octave_candidates(gauss, cfg, per_octave_k)
         all_x.append(x)
         all_y.append(y)
         all_sidx.append(s_idx)
+        all_soff.append(soff)
         all_resp.append(resp)
         all_ok.append(ok)
         # next octave: downsample the level with sigma = 2 sigma0
@@ -550,6 +691,7 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
     x = jnp.concatenate(all_x)  # octave-local coords
     y = jnp.concatenate(all_y)
     s_idx = jnp.concatenate(all_sidx)
+    soff = jnp.concatenate(all_soff)
     resp = jnp.concatenate(all_resp)
     ok = jnp.concatenate(all_ok)
     oct_idx = jnp.concatenate(
@@ -561,20 +703,57 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
     top_score, top_idx = jax.lax.top_k(score, cfg.max_keypoints)
     x, y = x[top_idx], y[top_idx]
     s_idx, oct_sel = s_idx[top_idx], oct_idx[top_idx]
+    soff_sel = soff[top_idx]
     resp_sel = resp[top_idx]
     mask = top_score > 0.0
 
-    # -- phase 2: orientation + descriptor for the winners only -------------
-    # octaves flattened into one 1-D pyramid buffer so every sample is ONE
-    # gather instead of a per-level masked loop
-    angle, desc = _orientation_and_descriptor_selected(
-        gauss_octs, oct_sel, s_idx, x, y, mask, tuple(sigmas)
+    # interpolated scale: fractional level from the 3-D subpixel fit; the
+    # gradient level used for sampling is the nearest integer level
+    sig = jnp.asarray(sigmas, jnp.float32)[s_idx] * jnp.power(
+        jnp.asarray(k_per_level, jnp.float32), soff_sel
+    )
+    s_lvl = jnp.clip(
+        jnp.round(s_idx.astype(jnp.float32) + soff_sel).astype(jnp.int32),
+        0,
+        n_levels - 1,
     )
 
-    scale_fr = jnp.exp2(oct_sel.astype(jnp.float32))  # octave -> full-res
+    # -- phase 2a: orientation peaks for the winners (one histogram pass) ---
+    pyr = _flat_pyramid(gauss_octs, oct_sel)
+    angle1, angle2, has2 = _orientation_peaks(pyr, s_lvl, x, y, sig)
+
+    # duplicate keypoints with a secondary orientation (Lowe's multi-peak
+    # rule) and re-rank: a strong keypoint's second orientation displaces
+    # the weakest single-orientation detection, keeping capacity static.
+    # top_k is stable, so at equal response the primary wins the slot.
+    def dup(a):
+        return jnp.concatenate([a, a])
+
+    x2, y2, sig2, slvl2 = dup(x), dup(y), dup(sig), dup(s_lvl)
+    oct2, resp2 = dup(oct_sel), dup(resp_sel)
+    ang_all = jnp.concatenate([angle1, angle2])
+    val_all = jnp.concatenate([mask, jnp.logical_and(mask, has2)])
+    score2 = jnp.where(val_all, resp2, -1.0)
+    top2, idx2 = jax.lax.top_k(score2, cfg.max_keypoints)
+    x, y, sig, s_lvl = x2[idx2], y2[idx2], sig2[idx2], slvl2[idx2]
+    oct_sel, resp_sel = oct2[idx2], resp2[idx2]
+    angle = ang_all[idx2]
+    mask = top2 > 0.0
+
+    # -- phase 2b: descriptors for the final winners only -------------------
+    # octaves flattened into one 1-D pyramid buffer so every sample is ONE
+    # gather instead of a per-level masked loop
+    pyr = _flat_pyramid(gauss_octs, oct_sel)
+    desc = _descriptors_for(pyr, s_lvl, x, y, sig, angle, mask)
+
+    # octave -> full-resolution pixels (octave 0 is the 2x-doubled image
+    # when upsample_first_octave, hence the 0.5 factor)
+    scale_fr = jnp.exp2(oct_sel.astype(jnp.float32)) * (
+        0.5 if cfg.upsample_first_octave else 1.0
+    )
     kps = Keypoints(
         xy=jnp.stack([x * scale_fr, y * scale_fr], axis=1),
-        scale=jnp.asarray(sigmas, jnp.float32)[s_idx] * scale_fr,
+        scale=sig * scale_fr,
         angle=angle,
         response=resp_sel,
         mask=mask,

@@ -132,3 +132,57 @@ def test_hamming_distance_matches_bit_count():
     )
     brute = (a[:, None, :] != b[None, :, :]).sum(-1)
     np.testing.assert_array_equal(ham, brute)
+
+
+def test_scale_interpolation_is_fractional(upenn_pair_half):
+    """The 3-D subpixel fit interpolates sigma BETWEEN pyramid levels —
+    scales must not collapse onto the discrete level grid (the 2-D-only
+    refinement this replaced had exactly num_octaves * S distinct values)."""
+    img, _ = upenn_pair_half
+    kps, _ = detect_and_describe(jnp.asarray(img), CFG)
+    sc = np.asarray(kps.scale)[np.asarray(kps.mask)]
+    n_discrete = CFG.num_octaves * (CFG.scales_per_octave + 3)
+    assert len(np.unique(np.round(sc, 4))) > 3 * n_discrete
+
+
+def test_multiple_orientation_duplicates(upenn_pair_half):
+    """Lowe's multi-peak rule: some keypoints must appear twice at the same
+    location/scale with different orientations (~15 percent on real images)."""
+    img, _ = upenn_pair_half
+    kps, _ = detect_and_describe(jnp.asarray(img), CFG)
+    m = np.asarray(kps.mask)
+    xy = np.asarray(kps.xy)[m]
+    ang = np.asarray(kps.angle)[m]
+    d_xy = np.linalg.norm(xy[:, None] - xy[None, :], axis=-1)
+    d_ang = np.abs(ang[:, None] - ang[None, :])
+    dup = (d_xy < 1e-4) & (d_ang > 0.1)
+    n_dup = int(dup.any(axis=1).sum())
+    assert n_dup > 10, n_dup
+
+
+def test_upsampled_first_octave_coordinates(upenn_pair_half):
+    """upsample_first_octave detects on a 2x image but must report
+    full-resolution pixel coordinates: in-bounds, and a healthy fraction of
+    the strong plain-config keypoints re-detected within 2 px."""
+    img, _ = upenn_pair_half
+    cfg_up = FrontendConfig(
+        max_keypoints=256, num_octaves=3, upsample_first_octave=True
+    )
+    kps_u, desc_u = detect_and_describe(jnp.asarray(img), cfg_up)
+    m_u = np.asarray(kps_u.mask)
+    xy_u = np.asarray(kps_u.xy)[m_u]
+    h, w = img.shape
+    assert m_u.sum() > 150
+    assert (xy_u[:, 0] >= 0).all() and (xy_u[:, 0] < w).all()
+    assert (xy_u[:, 1] >= 0).all() and (xy_u[:, 1] < h).all()
+
+    kps_p, _ = detect_and_describe(
+        jnp.asarray(img), FrontendConfig(max_keypoints=256, num_octaves=3)
+    )
+    xy_p = np.asarray(kps_p.xy)[np.asarray(kps_p.mask)]
+    d = np.sqrt(((xy_u[:, None] - xy_p[None]) ** 2).sum(-1)).min(axis=1)
+    frac = float((d < 2.0).mean())
+    # most of the fixed budget legitimately moves to finer-scale detections
+    # that only exist on the doubled image; a miscalibrated coordinate map
+    # would send overlap to ~0 (keypoints land between the plain set)
+    assert frac > 0.15, frac
