@@ -97,10 +97,33 @@ def cmd_reconstruct(args) -> int:
         start = engine.load_checkpoint(ckpt_path)
         print(f"resumed at frame {start}")
 
+    cache_dir = os.path.join(args.out, "features") if args.cache_features else None
+    if cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+
+    def feed(path):
+        """One frame, optionally through the on-disk feature cache (the
+        reference's pickled keypoint cache concept, view_processor.py:81-98:
+        re-runs skip detection entirely)."""
+        if not cache_dir:
+            return engine.process_image(load_image_grayscale(path))
+        from structure_from_motion_tpu.utils import checkpoint as ckpt
+
+        cpath = os.path.join(
+            cache_dir, os.path.basename(path) + f".kp{cfg.frontend.max_keypoints}.npz"
+        )
+        if os.path.exists(cpath):
+            xy, desc, valid = ckpt.load_features_cache(cpath)
+        else:
+            kps, desc = engine._jit_detect(load_image_grayscale(path))
+            xy, valid = kps.xy, kps.mask
+            ckpt.save_features_cache(cpath, xy, desc, valid)
+        return engine.process_features(xy, desc, valid)
+
     t0 = time.time()
     for i, path in enumerate(files[start:], start=start):
         t1 = time.time()
-        info = engine.process_image(load_image_grayscale(path))
+        info = feed(path)
         msg = "  ".join(
             f"{k}={info[k]}"
             for k in ("frame", "matches", "pnp_inliers", "new_points", "reprojection_px")
@@ -120,10 +143,19 @@ def cmd_reconstruct(args) -> int:
         points=pts,
     )
     engine.save_checkpoint(ckpt_path)
+    from structure_from_motion_tpu.utils.metrics import reprojection_stats
+
+    stats = reprojection_stats(engine.state)
     print(
         f"\n{len(files)} frames in {total:.2f}s ({len(files)/total:.3f} frames/s); "
         f"{len(pts)} map points -> {args.out}/reconstruction.npz"
     )
+    if stats.get("count"):
+        print(
+            f"reprojection over {stats['count']} observations: "
+            f"mean {stats['mean_px']:.3f}px  median {stats['median_px']:.3f}px  "
+            f"p95 {stats['p95_px']:.3f}px"
+        )
 
     if args.plot:
         from structure_from_motion_tpu.utils.visualization import (
@@ -210,6 +242,11 @@ def main(argv=None) -> int:
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--device", choices=["cpu", "tpu", ""], default="")
     r.add_argument("--resume", action="store_true")
+    r.add_argument(
+        "--cache-features", action="store_true",
+        help="cache detected features per image under <out>/features/ and "
+             "reuse them on re-runs (the reference's pkl keypoint cache)",
+    )
     r.add_argument("--checkpoint-every", type=int, default=0)
     r.add_argument("--plot", action="store_true")
     r.set_defaults(fn=cmd_reconstruct)

@@ -103,6 +103,11 @@ class MatcherConfig:
 
     ratio: float = 0.7
     cross_check: bool = False
+    # distance/top-2 backend: "auto" uses the fused Pallas kernel on TPU for
+    # the L2 metric when key capacities are 256-aligned and cross_check is
+    # off (measured ~15% faster than the XLA matmul + top_k path at 1-2k
+    # keys); "xla"/"pallas" force a path.
+    impl: str = "auto"
     # "l2" for float descriptors (sift/dog), "hamming" for +-1 binary codes
     # (harris/brief) — the reference's L2-vs-Hamming BFMatcher switch
     # (key_tracker.py:82-85). Hamming is computed on the MXU as (D - a.b)/2.

@@ -12,8 +12,10 @@ and which stage to dispatch — every array stays on device between frames):
                 the not-yet-constructed matches, run bundle adjustment
 
 Deliberate improvements over the reference (each cited in the stage
-docstrings): ``find_best_view`` is a real covisibility argmax instead of a
-stub returning 0; newly triangulated points must pass a positive-depth
+docstrings): the reference's single-best-view localization (its
+``find_best_view`` stub always returns 0) is superseded by PnP against the
+union of correspondences from ALL prior views; newly triangulated points
+must pass a positive-depth
 (cheirality) gate before entering the map; PnP-inlier re-observations of
 existing points are recorded, so bundle adjustment sees every view of a
 point rather than only its creating pair; BA runs adaptive-damping LM.

@@ -205,22 +205,6 @@ def matched_pair_arrays(state: SfMState, u: Array, v: Array):
     return ref_keys, que_keys, ref_xy, que_xy, valid
 
 
-def find_best_view(state: SfMState, v: Array) -> Array:
-    """Most covisible previous view: argmax over u < v of the number of
-    (u, v) matches whose u-key already has a triangulated point.
-
-    Deliberate fix of the reference's stub which always returns view 0 and
-    hard-exits when the assumption breaks (``key_tracker.py:184-195``,
-    ``ba_processor.py:170-174``).
-    """
-    matched = state.match_table[:, v, :] >= 0  # (V, K)
-    has3d = state.tri_index >= 0  # (V, K)
-    counts = jnp.sum(jnp.logical_and(matched, has3d), axis=1)  # (V,)
-    V = counts.shape[0]
-    counts = jnp.where(jnp.arange(V) < v, counts, -1)
-    return jnp.argmax(counts).astype(jnp.int32)
-
-
 def compact_state(state: SfMState) -> SfMState:
     """Stable-compact the point and observation stores.
 

@@ -195,7 +195,11 @@ def _solve_dense(U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum):
     S_flat = jnp.where(pin7[None, :], jnp.where(eye > 0, S_flat, 0.0), S_flat)
     b_flat = jnp.where(pin7, 0.0, b_flat)
 
-    return jnp.linalg.solve(S_flat, b_flat).reshape(V, 7)
+    # the damped reduced system is SPD (pinned rows are identity), so a
+    # Cholesky solve beats the general LU factorisation
+    from structure_from_motion_tpu.ops.linalg import solve_psd
+
+    return solve_psd(S_flat, b_flat).reshape(V, 7)
 
 
 def _solve_pcg(U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum, config: BAConfig):

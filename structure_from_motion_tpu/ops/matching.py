@@ -87,18 +87,37 @@ def match_descriptors(
     reference's trainIdx dedup, ``key_tracker.py:276-291``).
     ``config.metric`` picks L2 (float descriptors) or Hamming (+-1 codes).
     """
+    use_pallas = config.metric == "l2" and not config.cross_check and (
+        config.impl == "pallas"
+        or (
+            config.impl == "auto"
+            and jax.default_backend() == "tpu"
+            and desc_ref.shape[0] % 256 == 0
+            and desc_que.shape[0] % 256 == 0
+        )
+    )
     if config.metric == "hamming":
         d2 = hamming_distances(desc_ref, desc_que, mask_ref, mask_que)
         neg_top2, idx_top2 = jax.lax.top_k(-d2, 2)
         d1 = jnp.maximum(-neg_top2[:, 0], 0.0)
         d2nd = jnp.maximum(-neg_top2[:, 1], 0.0)
         j = idx_top2[:, 0]
+        nq_total = d2.shape[1]
+    elif use_pallas:
+        d1_sq, d2_sq, j = pallas_match_top2(
+            desc_ref, desc_que, mask_que,
+            interpret=jax.default_backend() != "tpu",
+        )
+        d1 = jnp.where(mask_ref, jnp.sqrt(d1_sq), _INF)
+        d2nd = jnp.sqrt(d2_sq)
+        nq_total = desc_que.shape[0]
     else:
         d2 = squared_distances(desc_ref, desc_que, mask_ref, mask_que)
         neg_top2, idx_top2 = jax.lax.top_k(-d2, 2)
         d1 = jnp.sqrt(jnp.maximum(-neg_top2[:, 0], 0.0))
         d2nd = jnp.sqrt(jnp.maximum(-neg_top2[:, 1], 0.0))
         j = idx_top2[:, 0]
+        nq_total = d2.shape[1]
 
     valid = jnp.logical_and(mask_ref, d1 < config.ratio * d2nd)
 
@@ -109,19 +128,19 @@ def match_descriptors(
         valid = jnp.logical_and(valid, mutual)
 
     # dedup: each que index keeps only its minimum-distance claimant
-    nq = d2.shape[1]
+    nr = desc_ref.shape[0]
     dist_or_inf = jnp.where(valid, d1, _INF)
-    best_per_que = jnp.full((nq,), _INF, dtype=d1.dtype).at[j].min(dist_or_inf)
+    best_per_que = jnp.full((nq_total,), _INF, dtype=d1.dtype).at[j].min(dist_or_inf)
     is_winner = dist_or_inf <= best_per_que[j]
     # break exact ties by lowest ref index
     first_claimant = (
-        jnp.full((nq,), d2.shape[0], dtype=jnp.int32)
+        jnp.full((nq_total,), nr, dtype=jnp.int32)
         .at[j]
-        .min(jnp.where(is_winner, jnp.arange(d2.shape[0], dtype=jnp.int32), d2.shape[0]))
+        .min(jnp.where(is_winner, jnp.arange(nr, dtype=jnp.int32), nr))
     )
     valid = jnp.logical_and(
         valid,
-        jnp.logical_and(is_winner, first_claimant[j] == jnp.arange(d2.shape[0])),
+        jnp.logical_and(is_winner, first_claimant[j] == jnp.arange(nr)),
     )
 
     target = jnp.where(valid, j, -1)
@@ -139,13 +158,18 @@ def _match_top2_kernel(ref_ref, que_ref, sqq_ref, maskq_ref, d1_ref, d2_ref, j1_
     Keeps a running (best, second-best, argbest) per ref row across the que
     grid dimension. Distances omit the |ref|^2 term (constant per row —
     irrelevant to the top-2 ordering) and add it back on the host side.
+
+    Mosaic notes: ``lax.top_k``/``argmin`` do not lower on TPU, so the
+    per-tile top-2 is built from row-min reductions + an iota select; the
+    running state is stored lane-major as (1, TR) rows (a (TR, 1) output
+    block would pad every row to 128 lanes in VMEM).
     """
-    q_idx = pl = None  # placate linters; real imports below
-    import jax.lax as lax
     from jax.experimental import pallas as plmod
 
+    ri = plmod.program_id(0)
     qi = plmod.program_id(1)
     TQ = que_ref.shape[0]
+    row = (plmod.ds(ri, 1), slice(None))
 
     cross = jnp.dot(
         ref_ref[:, :], que_ref[:, :].T, preferred_element_type=jnp.float32
@@ -153,39 +177,46 @@ def _match_top2_kernel(ref_ref, que_ref, sqq_ref, maskq_ref, d1_ref, d2_ref, j1_
     d = sqq_ref[0, :][None, :] - 2.0 * cross  # (TR, TQ) partial distances
     d = jnp.where(maskq_ref[0, :][None, :] != 0, d, _INF)
 
-    neg2, idx2 = lax.top_k(-d, 2)
-    tile_d1 = -neg2[:, 0]
-    tile_d2 = -neg2[:, 1]
-    tile_j1 = idx2[:, 0] + qi * TQ
+    iota = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)  # (TR, TQ)
+    tile_d1 = jnp.min(d, axis=1)  # (TR,)
+    # first column index attaining the min (top_k's tie rule)
+    tile_j1 = jnp.min(
+        jnp.where(d <= tile_d1[:, None], iota, TQ), axis=1
+    )
+    d_excl = jnp.where(iota == tile_j1[:, None], _INF, d)
+    tile_d2 = jnp.min(d_excl, axis=1)
+    tile_j1 = tile_j1 + qi * TQ
 
     @plmod.when(qi == 0)
     def _init():
-        d1_ref[:, 0] = tile_d1
-        d2_ref[:, 0] = tile_d2
-        j1_ref[:, 0] = tile_j1
+        d1_ref[row] = tile_d1[None, :]
+        d2_ref[row] = tile_d2[None, :]
+        j1_ref[row] = tile_j1[None, :]
 
     @plmod.when(qi != 0)
     def _merge():
-        old_d1 = d1_ref[:, 0]
-        old_d2 = d2_ref[:, 0]
-        old_j1 = j1_ref[:, 0]
+        old_d1 = d1_ref[row][0, :]
+        old_d2 = d2_ref[row][0, :]
+        old_j1 = j1_ref[row][0, :]
         new_best = tile_d1 < old_d1
         best = jnp.where(new_best, tile_d1, old_d1)
         best_j = jnp.where(new_best, tile_j1, old_j1)
         # second best: min of (loser of best contest, both seconds)
         runner = jnp.where(new_best, old_d1, tile_d1)
         second = jnp.minimum(runner, jnp.minimum(old_d2, tile_d2))
-        d1_ref[:, 0] = best
-        d2_ref[:, 0] = second
-        j1_ref[:, 0] = best_j
+        d1_ref[row] = best[None, :]
+        d2_ref[row] = second[None, :]
+        j1_ref[row] = best_j[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tr", "tq"))
 def pallas_match_top2(
     desc_ref: Array,
     desc_que: Array,
     mask_que: Array,
     interpret: bool = False,
+    tr: int = 256,
+    tq: int = 512,
 ):
     """Fused top-2 nearest-neighbour distances without materialising the
     (Nr, Nq) matrix in HBM.
@@ -199,7 +230,7 @@ def pallas_match_top2(
 
     nr, dim = desc_ref.shape
     nq = desc_que.shape[0]
-    TR, TQ = 128, 128
+    TR, TQ = min(tr, nr), min(tq, nq)
     assert nr % TR == 0 and nq % TQ == 0, (nr, nq)
 
     sqq = jnp.sum(desc_que.astype(jnp.float32) ** 2, axis=1)[None, :]  # (1, Nq)
@@ -216,19 +247,21 @@ def pallas_match_top2(
             pl.BlockSpec((1, TQ), lambda i, q: (0, q), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TR, 1), lambda i, q: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, 1), lambda i, q: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TR, 1), lambda i, q: (i, 0), memory_space=pltpu.VMEM),
+            # the whole (nr/TR, TR) result stays VMEM-resident across the
+            # grid (it is tiny); each step row-stores its ref tile's state
+            pl.BlockSpec((nr // TR, TR), lambda i, q: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr // TR, TR), lambda i, q: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nr // TR, TR), lambda i, q: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nr, 1), jnp.float32),
-            jax.ShapeDtypeStruct((nr, 1), jnp.float32),
-            jax.ShapeDtypeStruct((nr, 1), jnp.int32),
+            jax.ShapeDtypeStruct((nr // TR, TR), jnp.float32),
+            jax.ShapeDtypeStruct((nr // TR, TR), jnp.float32),
+            jax.ShapeDtypeStruct((nr // TR, TR), jnp.int32),
         ],
         interpret=interpret,
     )(desc_ref, desc_que, sqq, maskq)
 
     sqr = jnp.sum(desc_ref.astype(jnp.float32) ** 2, axis=1)
-    d1_sq = jnp.maximum(d1[:, 0] + sqr, 0.0)
-    d2_sq = jnp.maximum(d2[:, 0] + sqr, 0.0)
-    return d1_sq, d2_sq, j1[:, 0]
+    d1_sq = jnp.maximum(d1.reshape(nr) + sqr, 0.0)
+    d2_sq = jnp.maximum(d2.reshape(nr) + sqr, 0.0)
+    return d1_sq, d2_sq, j1.reshape(nr)

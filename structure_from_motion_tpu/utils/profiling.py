@@ -14,16 +14,27 @@ import jax
 logger = logging.getLogger("structure_from_motion_tpu")
 
 
+def device_fence() -> None:
+    """Drain the device queue with a real device->host readback.
+
+    On the tunnelled TPU backend ``jax.block_until_ready`` returns before
+    execution finishes (measured: it reads ~0 ms around real work), so the
+    only honest barrier is a scalar fetch — the device executes in order, so
+    fetching a fresh trivial computation waits for everything enqueued
+    before it.
+    """
+    float(jax.numpy.zeros(()) + 0.0)
+
+
 @contextlib.contextmanager
 def device_timer(name: str, results: dict | None = None):
-    """Wall-time a device computation correctly: synchronises outstanding
-    work before and after the body."""
-    jax.block_until_ready(jax.numpy.zeros(()))
+    """Wall-time a device computation honestly: a fetch-bounded fence before
+    and after the body (NOT ``block_until_ready`` — see :func:`device_fence`)."""
+    device_fence()
     t0 = time.perf_counter()
     holder: list[Any] = []
     yield holder
-    if holder:
-        jax.block_until_ready(holder)
+    device_fence()
     dt = time.perf_counter() - t0
     logger.info("%s: %.4fs", name, dt)
     if results is not None:
