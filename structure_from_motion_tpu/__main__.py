@@ -130,6 +130,14 @@ def cmd_reconstruct(args) -> int:
             if k in info
         )
         print(f"{os.path.basename(path)}: {time.time() - t1:.2f}s  {msg}")
+        n_drop = int(info.get("dropped_points", 0)) + int(info.get("dropped_obs", 0))
+        if n_drop:
+            print(
+                f"  WARNING: capacity overflow — "
+                f"{info['dropped_points']} points / {info['dropped_obs']} "
+                f"observations dropped so far; raise --max-points/"
+                f"--max-observations", file=sys.stderr,
+            )
         if args.checkpoint_every and (i + 1) % args.checkpoint_every == 0:
             engine.save_checkpoint(ckpt_path)
     total = time.time() - t0

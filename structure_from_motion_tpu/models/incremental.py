@@ -479,6 +479,12 @@ def _frame_step(
         jnp.minimum(v, 2), [frame0, frame1, frame_n], state, k_stage
     )
     info["reprojection_px"] = pipeline_reprojection_error(state)
+    # cumulative capacity-overflow counters: non-zero means the map/
+    # observation capacities are saturated and admissions are being
+    # silently dropped — surfaced here so "no new points" cannot
+    # masquerade as convergence
+    info["dropped_points"] = state.dropped_points
+    info["dropped_obs"] = state.dropped_obs
     return state, info
 
 

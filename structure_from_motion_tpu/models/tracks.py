@@ -56,6 +56,12 @@ class SfMState(NamedTuple):
     obs_uv: Array  # (O, 2)
     obs_valid: Array  # (O,) bool
     num_obs: Array  # () int32
+    # cumulative capacity-overflow counters: candidates silently dropped
+    # because the point/observation stores were full. A healthy run keeps
+    # both at zero; non-zero means capacities are undersized and the map
+    # "converging" is actually saturation (validate_state flags it).
+    dropped_points: Array  # () int32
+    dropped_obs: Array  # () int32
     # intrinsics (shared across views, like the reference's single K)
     K: Array  # (3, 3)
 
@@ -79,6 +85,8 @@ def init_state(cap: CapacityConfig, K: Array, desc_dim: int = 128, dtype=jnp.flo
         obs_uv=jnp.zeros((O, 2), dtype),
         obs_valid=jnp.zeros((O,), bool),
         num_obs=jnp.asarray(0, jnp.int32),
+        dropped_points=jnp.asarray(0, jnp.int32),
+        dropped_obs=jnp.asarray(0, jnp.int32),
         K=jnp.asarray(K, dtype),
     )
 
@@ -137,10 +145,12 @@ def allocate_points(state: SfMState, X: Array, mask: Array):
     points = state.points.at[dest].set(X, mode="drop")
     pt_valid = state.pt_valid.at[dest].set(mask, mode="drop")
     n_new = jnp.sum(mask, dtype=jnp.int32)
+    kept = jnp.clip(M - state.num_points, 0, n_new)
     state = state._replace(
         points=points,
         pt_valid=pt_valid,
         num_points=jnp.minimum(state.num_points + n_new, M).astype(jnp.int32),
+        dropped_points=(state.dropped_points + n_new - kept).astype(jnp.int32),
     )
     return state, ids.astype(jnp.int32)
 
@@ -177,6 +187,7 @@ def append_observations(
     dest = jnp.where(mask, state.num_obs + ranks, O)
     dest = jnp.where(dest >= O, O, dest)
     kept = jnp.logical_and(mask, dest < O)
+    n_dropped = jnp.sum(mask, dtype=jnp.int32) - jnp.sum(kept, dtype=jnp.int32)
     return state._replace(
         obs_cam=state.obs_cam.at[dest].set(cam.astype(jnp.int32), mode="drop"),
         obs_pt=state.obs_pt.at[dest].set(point.astype(jnp.int32), mode="drop"),
@@ -185,6 +196,7 @@ def append_observations(
         num_obs=jnp.minimum(
             state.num_obs + jnp.sum(kept, dtype=jnp.int32), O
         ).astype(jnp.int32),
+        dropped_obs=(state.dropped_obs + n_dropped).astype(jnp.int32),
     )
 
 

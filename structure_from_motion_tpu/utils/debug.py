@@ -74,6 +74,15 @@ def validate_state(state) -> list[str]:
         problems.append("non-finite camera centers")
     if q.size and np.abs(np.linalg.norm(q, axis=1) - 1.0).max() > 1e-4:
         problems.append("non-unit camera quaternions")
+    # capacity overflow: silently dropped admissions mean the configured
+    # capacities are too small for the sequence — a saturated map looks
+    # like convergence ("no new points") unless this is surfaced
+    ndp = int(np.asarray(state.dropped_points))
+    ndo = int(np.asarray(state.dropped_obs))
+    if ndp > 0:
+        problems.append(f"map capacity overflow: {ndp} points dropped")
+    if ndo > 0:
+        problems.append(f"observation capacity overflow: {ndo} observations dropped")
     return problems
 
 

@@ -246,3 +246,31 @@ def test_prune_compacts_stores():
     assert validate_state(st2._replace(cam_valid=st2.cam_valid)) == []
     st3, _ = tracks.allocate_points(st2, jnp.ones((1, 3)), jnp.ones(1, bool))
     assert int(st3.num_points) == 3
+
+
+def test_capacity_overflow_is_counted():
+    """Deliberately overflow the point and observation stores: the drops
+    must be counted, surfaced in state, and flagged by validate_state."""
+    import jax.numpy as jnp
+
+    from structure_from_motion_tpu.config import CapacityConfig
+    from structure_from_motion_tpu.models import tracks
+    from structure_from_motion_tpu.utils.debug import validate_state
+
+    cap = CapacityConfig(max_views=2, max_keypoints=8, max_points=4, max_observations=4)
+    st = tracks.init_state(cap, np.eye(3))
+    st = tracks.set_camera(st, 0, jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]))
+    st, ids = tracks.allocate_points(
+        st, jnp.arange(18.0).reshape(6, 3), jnp.ones(6, bool)
+    )
+    assert int(st.num_points) == 4
+    assert int(st.dropped_points) == 2
+    st = tracks.append_observations(
+        st, jnp.zeros(6, jnp.int32), jnp.clip(ids, 0, 3), jnp.ones((6, 2)),
+        jnp.ones(6, bool),
+    )
+    assert int(st.num_obs) == 4
+    assert int(st.dropped_obs) == 2
+    problems = validate_state(st)
+    assert any("overflow" in p and "points" in p for p in problems), problems
+    assert any("overflow" in p and "observations" in p for p in problems), problems
