@@ -69,6 +69,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--upsample", action="store_true",
                     help="2x-upsampled first octave (cv2-SIFT parity)")
+    ap.add_argument("--lm-iters", default="",
+                    help="'PNP,TRI' LM iteration budgets (default config)")
     args = ap.parse_args()
 
     import jax
@@ -80,13 +82,22 @@ def main():
     from structure_from_motion_tpu.config import (
         CapacityConfig,
         FrontendConfig,
+        LMConfig,
         MatcherConfig,
         PipelineConfig,
     )
     from structure_from_motion_tpu.io import load_image_grayscale, upenn_intrinsics
     from structure_from_motion_tpu.models import IncrementalSfM
 
+    lm_kw = {}
+    if args.lm_iters:
+        pnp_it, tri_it = (int(x) for x in args.lm_iters.split(","))
+        lm_kw = dict(
+            pnp_lm=LMConfig(damping=5.0, iterations=pnp_it),
+            triangulation_lm=LMConfig(damping=5.0, iterations=tri_it),
+        )
     cfg = PipelineConfig(
+        **lm_kw,
         frontend=FrontendConfig(
             max_keypoints=args.max_kp,
             upsample_first_octave=args.upsample,
