@@ -103,3 +103,19 @@ def test_nan_guard_logs(caplog):
         assert nan_guard(tree, "state.") is True
     assert any("bad" in r.message for r in caplog.records)
     assert nan_guard({"ok": jnp.ones(3)}) is False
+
+
+def test_profiler_trace_writes_events(tmp_path):
+    """utils/profiling.trace must produce a real jax.profiler trace dir
+    (viewable in TensorBoard's profile plugin)."""
+    from structure_from_motion_tpu.utils.profiling import trace
+
+    d = str(tmp_path / "trace")
+    with trace(d):
+        a = jnp.ones((128, 128))
+        (a @ a).block_until_ready()
+    files = [
+        os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs
+    ]
+    assert files, "no trace output written"
+    assert any(f.endswith((".pb", ".json.gz", ".xplane.pb")) for f in files), files
