@@ -49,6 +49,10 @@ def _build_config(args) -> "PipelineConfig":
     matcher = MatcherConfig(
         ratio=args.ratio,
         metric="hamming" if args.detector == "harris" else "l2",
+        # binary codes: mutual-nearest-neighbour check (the reference's
+        # crossCheck BFMatcher for its ORB mode) — the Hamming ratio test
+        # alone is weakly discriminative
+        cross_check=args.detector == "harris",
         use_fundamental_gate=not args.no_gate,
         gate_ransac=RansacConfig(inlier_threshold=3.0, iteration=128),
     )

@@ -522,8 +522,12 @@ def _octave_harris(img: Array, cfg: FrontendConfig, per_octave_k: int):
     """
     h, w = img.shape
     resp = _harris_response(img)
+    # 5x5 NMS: a 3x3 window lets corners cluster on strong texture, which
+    # starves the rest of the image of the fixed keypoint budget and thins
+    # the PnP consensus (measured on upenn) — wider suppression spreads
+    # detections spatially
     nms = jax.lax.reduce_window(
-        resp, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+        resp, -jnp.inf, jax.lax.max, (5, 5), (1, 1), "SAME"
     )
     border = 20  # BRIEF patch support
     bm = jnp.zeros((h, w), dtype=bool).at[border:-border, border:-border].set(True)
@@ -575,8 +579,15 @@ def _brief_describe(
     img: Array, x: Array, y: Array, angle: Array, valid: Array, n_bits: int,
     patch: float = 31.0,
 ) -> Array:
-    """Steered-BRIEF +-1 codes: bit_i = sign(I(R p_i) - I(R q_i))."""
+    """Steered-BRIEF +-1 codes: bit_i = sign(I(R p_i) - I(R q_i)).
+
+    The steering angle is quantised to 12-degree increments (ORB's 30-
+    degree lookup tables, finer): small orientation noise then leaves the
+    sampled pattern EXACTLY unchanged instead of flipping borderline bits,
+    which measurably tightens cross-view Hamming distances."""
     pat = _brief_pattern(n_bits, patch)
+    step = jnp.pi / 15.0
+    angle = jnp.round(angle / step) * step
     ca, sa = jnp.cos(angle)[:, None], jnp.sin(angle)[:, None]
     px = ca * pat[None, :, 0] - sa * pat[None, :, 1] + x[:, None]
     py = sa * pat[None, :, 0] + ca * pat[None, :, 1] + y[:, None]
@@ -596,7 +607,11 @@ def _detect_harris_brief(img: Array, cfg: FrontendConfig):
     for o in range(cfg.num_octaves):
         x, y, resp, ok = _octave_harris(level, cfg, per_octave_k)
         angle = _intensity_centroid_angle(level, x, y)
-        desc = _brief_describe(level, x, y, angle, ok, cfg.descriptor_dim)
+        # BRIEF compares single samples, so it needs a smoother image than
+        # detection does (classic BRIEF: sigma ~2 pre-blur; ORB: 5x5 box) —
+        # comparing on the detection level flips bits on pixel noise
+        desc_img = _blur(level, 2.0)
+        desc = _brief_describe(desc_img, x, y, angle, ok, cfg.descriptor_dim)
         scale_fr = 2.0**o
         all_x.append(x * scale_fr)
         all_y.append(y * scale_fr)

@@ -169,3 +169,50 @@ def test_upenn_trajectory_matches_golden(reference_dataset_path, sift_frames):
     assert len(engine.map_points()) > 300
     # the trajectory must actually progress (not collapse to a cluster)
     assert np.linalg.norm(locs[-1] - locs[0]) > 0.3 * span
+
+
+def test_upenn_binary_frontend_e2e(reference_dataset_path):
+    """End-to-end trajectory with the BINARY frontend (Harris + steered
+    BRIEF, Hamming matching) — the reference's ORB mode. Half-resolution to
+    keep CPU detection fast; gates on trajectory shape and consensus
+    health (the round-1 weakness was ~15 PnP inliers)."""
+    from structure_from_motion_tpu.io import load_image_grayscale
+
+    d = os.path.join(reference_dataset_path, "upenn")
+    imgs = [
+        load_image_grayscale(os.path.join(d, f"image{i:07d}.bmp"))[::2, ::2]
+        for i in range(1, 7)
+    ]
+    K = upenn_intrinsics().copy()
+    K[:2] /= 2.0  # half resolution
+    kp = 768
+    cfg = PipelineConfig(
+        frontend=FrontendConfig(
+            detector="harris", max_keypoints=kp, descriptor_dim=256,
+            num_octaves=3,
+        ),
+        matcher=MatcherConfig(
+            ratio=0.9, metric="hamming", cross_check=True,
+            use_fundamental_gate=True,
+            gate_ransac=RansacConfig(inlier_threshold=3.0, iteration=128),
+        ),
+        capacity=CapacityConfig(
+            max_views=8, max_keypoints=kp, max_points=8192,
+            max_observations=32768,
+        ),
+    )
+    engine = IncrementalSfM(cfg, K, frontend="native", seed=0)
+    infos = [engine.process_image(im) for im in imgs]
+    locs, _ = engine.poses()
+
+    with open(os.path.join(d, "results", "view_pose.pkl"), "rb") as fh:
+        g_locs, _ = pickle.load(fh)
+    span = float(np.linalg.norm(g_locs.max(0) - g_locs.min(0)))
+    ate = absolute_trajectory_error(locs, g_locs)
+    assert ate < 0.20 * span, (ate, span)
+    assert infos[-1]["reprojection_px"] < 3.0, infos[-1]
+    # consensus health: the localization stages must find a real inlier set
+    assert min(i["pnp_inliers"] for i in infos[2:]) > 30, [
+        i["pnp_inliers"] for i in infos
+    ]
+    assert np.linalg.norm(locs[-1] - locs[0]) > 0.3 * span
