@@ -220,6 +220,25 @@ def bench_pipeline():
     int(engine.state.num_points)
     seq_latency = time.perf_counter() - t0
 
+    # quality is seed-noisy (RANSAC draws move single-seed reprojection by
+    # ~±0.3 px on 6 frames — measured); report the median over 4 seeds.
+    # Seeds share the jit cache, so the extra runs are cheap.
+    def seed_median_reproj(mk_engine, frames):
+        errs = []
+        for seed in range(4):
+            e = mk_engine(seed)
+            for fr in frames:
+                e.process_image(fr)
+            errs.append(float(e.reprojection_error()))
+        return float(np.median(errs)), errs
+
+    reproj_thr, errs_thr = seed_median_reproj(
+        lambda s: IncrementalSfM(
+            cfg, K, frontend="native", seed=s, collect_metrics=False
+        ),
+        imgs,
+    )
+
     # ---- batched throughput ---------------------------------------------
     # B sequences advance in lockstep via vmap. Measured reality (see
     # README): a single sequence already ~60% saturates the chip at these
@@ -245,22 +264,32 @@ def bench_pipeline():
     import dataclasses
 
     cfg_q = dataclasses.replace(make_cfg(True), matcher=PipelineConfig().matcher)
-    engine_q = IncrementalSfM(cfg_q, K, frontend="native", collect_metrics=False)
-    for f in files:
-        # full float frames: the uint8 quantisation that is fine for the
-        # throughput config costs ~0.3 px through the 2x first octave
-        engine_q.process_image(load_image_grayscale(f))
-    engine_q.finalize(iterations=10)
-    reproj_upsampled = engine_q.reprojection_error()
+    # full float frames: the uint8 quantisation that is fine for the
+    # throughput config costs ~0.3 px through the 2x first octave
+    float_frames = [load_image_grayscale(f) for f in files]
+    errs_up = []
+    for seed in range(4):
+        engine_q = IncrementalSfM(
+            cfg_q, K, frontend="native", seed=seed, collect_metrics=False
+        )
+        for fr in float_frames:
+            engine_q.process_image(fr)
+        engine_q.finalize(iterations=10)
+        errs_up.append(float(engine_q.reprojection_error()))
+    reproj_upsampled = float(np.median(errs_up))
 
     extras = {
         "sequence_latency_s": round(seq_latency, 3),
         "single_seq_frames_per_s": round(len(imgs) / seq_latency, 4),
         "batch": B,
         "batch_aggregate_frames_per_s": round(B * len(imgs) / dt_b, 4),
-        "reprojection_px_1024kp": round(engine.reprojection_error(), 4),
+        "reprojection_px_1024kp": round(reproj_thr, 4),
+        "reprojection_px_1024kp_seeds": [round(e, 3) for e in errs_thr],
         "reprojection_px_1024kp_upsampled": round(reproj_upsampled, 4),
+        "reprojection_px_1024kp_upsampled_seeds": [round(e, 3) for e in errs_up],
         "map_points": int(len(engine.map_points())),
+        "quality_note": "reprojection medians over seeds 0-3 (single-seed "
+        "spread is ~±0.3 px on this 6-frame sequence)",
     }
     return len(imgs) / seq_latency, extras
 

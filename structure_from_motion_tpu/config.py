@@ -90,6 +90,23 @@ class FrontendConfig:
     edge_threshold: float = 10.0
     descriptor_dim: int = 128
     patch_size: int = 16
+    # Gaussian-pyramid backend. "matmul": banded-matrix matmuls on the MXU
+    # (bf16x3, ~f32-exact — measured 5.8e-8 vs a float64 oracle, ~10 ms
+    # faster per frame than the conv path at 960x1280). "conv": XLA
+    # separable convs on the VPU (bf16-rounded accumulation, ~2.5e-3
+    # error). CPU always uses convs (dense band matrices are pure overhead
+    # there). See bench notes: the two backends admit slightly different
+    # keypoint top-k sets, which measurably moves single-sequence accuracy
+    # metrics in either direction.
+    blur_impl: str = "matmul"
+    # per-octave candidate selection over the multi-million-entry response
+    # maps. "exact" (default): lax.top_k full sort. "approx": the TPU
+    # approx_max_k PartialReduce — ~6 ms/frame faster at 1024 kp, but its
+    # index-binned reduction drops strong spatially-clustered keypoints
+    # (measured up to -14% tracked map points / +0.2 px on upenn), so it is
+    # opt-in for throughput-over-quality runs. "auto" = exact (kept so
+    # configs can be forward-compatible). Cross-octave merges stay exact.
+    topk: str = "exact"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -37,6 +37,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 from structure_from_motion_tpu.config import FrontendConfig
@@ -50,16 +51,52 @@ class Keypoints(NamedTuple):
     mask: Array  # (K,) bool
 
 
-def _gaussian_kernel1d(sigma: float) -> jnp.ndarray:
+def _gaussian_kernel1d(sigma: float) -> np.ndarray:
+    # static (trace-time) numpy: the kernel feeds banded-matrix constants
     radius = max(1, int(math.ceil(3.0 * sigma)))
-    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    return k / jnp.sum(k)
+    x = np.arange(-radius, radius + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / np.sum(k)).astype(np.float32)
 
 
-def _blur(img: Array, sigma: float) -> Array:
-    """Separable Gaussian blur of a (H, W) image (two 1-D convs)."""
+def _use_mxu_blur(impl: str = "matmul") -> bool:
+    # single-input-channel convolutions lower to the VPU on TPU (measured:
+    # the whole 4-octave pyramid was 43 ms of a 154 ms detect); banded
+    # matmuls ride the MXU instead. On CPU the dense band matrices are
+    # pure overhead — keep the conv path there. ``impl`` comes from
+    # FrontendConfig.blur_impl ("matmul" | "conv").
+    return impl == "matmul" and jax.default_backend() != "cpu"
+
+
+def _band(k: np.ndarray, n: int) -> jnp.ndarray:
+    """Dense (n, n) banded matrix B with B[i, j] = k[j - i + r] (zero pad):
+    (img @ B.T) == 1-D 'SAME' zero-padded correlation along that axis.
+
+    Built ON DEVICE from iota + the (2r+1,) kernel: materialising the
+    matrix as a trace-time numpy literal embeds O(n^2) constants in the
+    HLO, which blows the remote-compile request past its size limit for
+    the 2x-upsampled first octave (5 x 2560^2 floats per direction)."""
+    r = (len(k) - 1) // 2
+    d = jnp.arange(n, dtype=jnp.int32)[None, :] - jnp.arange(
+        n, dtype=jnp.int32
+    )[:, None] + r  # B[i, j] -> kernel tap index
+    inb = (d >= 0) & (d <= 2 * r)
+    kd = jnp.asarray(np.asarray(k, np.float32))
+    return jnp.where(inb, kd[jnp.clip(d, 0, 2 * r)], 0.0)
+
+
+def _blur(img: Array, sigma: float, impl: str = "matmul") -> Array:
+    """Separable Gaussian blur of a (H, W) image.
+
+    TPU: two banded matmuls (Bv @ img @ Bh^T) so the smoothing runs on the
+    MXU at f32-accurate bf16x3 precision; CPU: two 1-D convs."""
     k = _gaussian_kernel1d(sigma)
+    if _use_mxu_blur(impl):
+        h, w = img.shape
+        Bh = _band(k, w)
+        Bv = _band(k, h)
+        hi = jnp.dot(img, Bh.T, precision=jax.lax.Precision.HIGHEST)
+        return jnp.dot(Bv, hi, precision=jax.lax.Precision.HIGHEST)
     r = (k.shape[0] - 1) // 2
     x = img[None, None, :, :]
     kh = k.reshape(1, 1, 1, -1)
@@ -69,7 +106,7 @@ def _blur(img: Array, sigma: float) -> Array:
     return x[0, 0]
 
 
-def _blur_levels(base: Array, rel_sigmas: list) -> Array:
+def _blur_levels(base: Array, rel_sigmas: list, impl: str = "matmul") -> Array:
     """All pyramid levels of one octave in TWO grouped convolutions.
 
     ``base`` (H, W) is level 0; level i = gaussian(base, rel_sigmas[i-1])
@@ -80,6 +117,17 @@ def _blur_levels(base: Array, rel_sigmas: list) -> Array:
     poorly on TPU (measured: the blur chain was ~60 ms of a 119 ms detect).
     """
     ks = [_gaussian_kernel1d(s) for s in rel_sigmas]
+    if _use_mxu_blur(impl):
+        h, w = base.shape
+        Bh = jnp.stack([_band(k, w) for k in ks])  # (L, W, W)
+        Bv = jnp.stack([_band(k, h) for k in ks])  # (L, H, H)
+        hi = jnp.einsum(
+            "hw,lvw->lhv", base, Bh, precision=jax.lax.Precision.HIGHEST
+        )
+        out = jnp.einsum(
+            "lgh,lhv->lgv", Bv, hi, precision=jax.lax.Precision.HIGHEST
+        )
+        return jnp.concatenate([base[None], out], axis=0)
     radius = max((k.shape[0] - 1) // 2 for k in ks)
     width = 2 * radius + 1
     ks = [
@@ -139,8 +187,16 @@ def _edge_response_ok(layer: Array, edge_threshold: float) -> Array:
 
 
 def _subpixel_offset_3d(
-    dog: Array, s_idx: Array, yy: Array, xx: Array
-) -> tuple[Array, Array, Array]:
+    flat: Array,
+    obase: Array,
+    h: Array,
+    w: Array,
+    hw: Array,
+    s_layers: int,
+    s_idx: Array,
+    yy: Array,
+    xx: Array,
+) -> tuple[Array, Array, Array, Array, Array, Array]:
     """Full 3-D (x, y, scale) quadratic refinement at selected candidates.
 
     Lowe's interpolation (the part the cv2-SIFT oracle has and a 2-D-only
@@ -160,21 +216,43 @@ def _subpixel_offset_3d(
     neighbours); ``yy``/``xx`` are >= ``border`` from the image edge by
     construction.
 
+    Runs ONCE on the global top-k winners over a FLAT concatenation of
+    every octave's DoG stack (``flat``, with per-keypoint octave row offset
+    ``obase`` and dims ``h``/``w``/``hw``): refining the 4x larger
+    per-octave candidate sets before the merge did identical work on
+    losers, and the 27 neighbourhood taps of each fit are ONE (n, 27)
+    gather — 27 separate 1024-row gathers are dispatch-latency bound
+    (~0.2 ms each, ~58 ms of the whole detect stage measured).
+
     Returns (dx, dy, ds, moved_x, moved_y, moved_s): fractional offsets
     relative to the (possibly relocated) integer position plus the integer
     relocation itself.
     """
-    h, w = dog.shape[1], dog.shape[2]
-    s_layers = dog.shape[0] - 2
-    flat = dog.reshape(-1)
-    hw = h * w
     border = 2  # relocation only needs derivative support, not descriptor's
+    import numpy as _np
+
+    # static (3, 27) multipliers; per-keypoint flat offsets are
+    # ds*hw_k + dy*w_k + dx (octave dims vary per keypoint)
+    trip = _np.array(
+        [
+            (ds, dy, dx)
+            for ds in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ],
+        _np.int32,
+    ).T
+    dss = jnp.asarray(trip[0])[None, :]
+    dys = jnp.asarray(trip[1])[None, :]
+    dxs = jnp.asarray(trip[2])[None, :]
+    offs = dss * hw[:, None] + dys * w[:, None] + dxs  # (n, 27)
 
     def fit(s_i, y_i, x_i):
-        base = (1 + s_i) * hw + y_i * w + x_i
+        base = obase + (1 + s_i) * hw + y_i * w + x_i
+        vals = flat[base[:, None] + offs]  # (n, 27)
 
         def tap(ds, dy, dx):
-            return flat[base + ds * hw + dy * w + dx]
+            return vals[:, (ds + 1) * 9 + (dy + 1) * 3 + (dx + 1)]
 
         c = tap(0, 0, 0)
         gx = 0.5 * (tap(0, 0, 1) - tap(0, 0, -1))
@@ -198,7 +276,7 @@ def _subpixel_offset_3d(
         )  # (n, 3, 3)
         # tiny Tikhonov keeps the batched solve finite on flat
         # neighbourhoods; non-finite results fall back to zero offset
-        eye = jnp.eye(3, dtype=dog.dtype) * 1e-12
+        eye = jnp.eye(3, dtype=flat.dtype) * 1e-12
         delta = jnp.linalg.solve(H + eye, -g[..., None])[..., 0]
         return jnp.where(jnp.isfinite(delta), delta, 0.0)
 
@@ -247,12 +325,33 @@ def _bilinear_sample(img: Array, x: Array, y: Array) -> Array:
     )
 
 
+def _top_k_responses(resp: Array, k: int, cfg: FrontendConfig):
+    """Per-octave candidate selection over a flattened response map.
+
+    ``lax.top_k`` fully sorts the multi-million-entry map; on TPU the
+    ``approx_max_k`` PartialReduce keeps >= ~95% of the exact winners
+    (the tail it may swap consists of near-threshold detections with
+    near-identical responses) at a fraction of the cost. ``cfg.topk``:
+    "auto" (approx on TPU), "exact", "approx".
+    """
+    mode = cfg.topk
+    if mode == "approx":
+        # opt-in: the PartialReduce bins by INDEX, i.e. spatially — two
+        # strong keypoints colliding in one bin lose one (measured -14%
+        # tracked map points on upenn at recall 0.95, still quality-lossy
+        # at 0.98), so this stays off the default path
+        return jax.lax.approx_max_k(resp, k, recall_target=0.98)
+    return jax.lax.top_k(resp, k)
+
+
 def _octave_candidates(gauss: Array, cfg: FrontendConfig, per_octave_k: int):
     """One octave: (S+3, H, W) gaussian stack -> fixed-size candidate set.
 
-    Returns (x, y, scale_idx, scale_offset, response, valid) each
-    (per_octave_k,), with 3-D (x, y, sigma) subpixel-refined octave-pixel
-    coordinates (``scale_offset`` is the fractional level offset).
+    Returns (dog, xx, yy, scale_idx, response, valid): INTEGER candidate
+    positions (the 3-D subpixel fit runs once, after the cross-octave
+    merge, on the global winners only — it is gather-bound and refining
+    per-octave losers was measured dead work) plus the octave's DoG stack
+    for that later fit.
     """
     dog = gauss[1:] - gauss[:-1]  # (S+2, H, W)
     s_layers = dog.shape[0] - 2
@@ -270,29 +369,20 @@ def _octave_candidates(gauss: Array, cfg: FrontendConfig, per_octave_k: int):
 
     resp = jnp.where(valid, jnp.abs(dog[1:-1]), 0.0).reshape(-1)
     k = min(per_octave_k, resp.shape[0])
-    top_resp, top_idx = jax.lax.top_k(resp, k)
+    top_resp, top_idx = _top_k_responses(resp, k, cfg)
     s_idx = top_idx // (h * w)
     rem = top_idx % (h * w)
     yy = rem // w
     xx = rem % w
-
-    # 3-D subpixel refinement (with integer relocation) at the selected
-    # candidates only
-    ox, oy, osc, mx, my, ms = _subpixel_offset_3d(dog, s_idx, yy, xx)
-    s_idx = s_idx + ms
-
-    x = (xx + mx).astype(jnp.float32) + ox
-    y = (yy + my).astype(jnp.float32) + oy
     ok = top_resp > 0.0
     if k < per_octave_k:
         pad = per_octave_k - k
-        x = jnp.pad(x, (0, pad))
-        y = jnp.pad(y, (0, pad))
+        xx = jnp.pad(xx, (0, pad))
+        yy = jnp.pad(yy, (0, pad))
         s_idx = jnp.pad(s_idx, (0, pad))
-        osc = jnp.pad(osc, (0, pad))
         top_resp = jnp.pad(top_resp, (0, pad))
         ok = jnp.pad(ok, (0, pad))
-    return x, y, s_idx, osc, top_resp, ok
+    return dog, xx, yy, s_idx, top_resp, ok
 
 
 def _bilinear_sample_flat(
@@ -301,11 +391,14 @@ def _bilinear_sample_flat(
 ) -> Array:
     """Bilinear sample of a FLAT concatenated pyramid.
 
-    ``flat``: 1-D concatenation of every octave's (S+3, H_o, W_o) stack (no
-    zero padding — a padded (O, S+3, H0, W0) pyramid costs 4x the memory and
-    OOMs under vmap at batch 8 on a 16 GB chip). Per keypoint: ``base`` =
-    flat offset of its octave, ``s`` level index, ``h``/``w``/``hw`` its
-    octave dims. One 1-D gather per tap; zero outside the octave image.
+    ``flat``: concatenation of every octave's (S+3, H_o, W_o) stack along a
+    flattened leading axis (no zero padding — a padded (O, S+3, H0, W0)
+    pyramid costs 4x the memory and OOMs under vmap at batch 8 on a 16 GB
+    chip). May carry a trailing channel axis (rows of C values share one
+    gather row — pyramid gathers are row-latency-bound on TPU, so pairing
+    gx/gy into C=2 rows halves the gather cost). Per keypoint: ``base`` =
+    flat row offset of its octave, ``s`` level index, ``h``/``w``/``hw``
+    its octave dims. One gather per tap; zero outside the octave image.
     """
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
@@ -314,35 +407,43 @@ def _bilinear_sample_flat(
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
     start = (base + s * hw)[:, None]  # (K, 1)
+    chan = flat.ndim == 2
 
     def tap(yy, xx):
         inb = (yy >= 0) & (yy < h[:, None]) & (xx >= 0) & (xx < w[:, None])
         idx = start + jnp.clip(yy, 0, h[:, None] - 1) * w[:, None] + jnp.clip(
             xx, 0, w[:, None] - 1
         )
+        if chan:
+            return jnp.where(inb[..., None], flat[idx], 0.0)
         return jnp.where(inb, flat[idx], 0.0)
 
     v00 = tap(y0i, x0i)
     v01 = tap(y0i, x0i + 1)
     v10 = tap(y0i + 1, x0i)
     v11 = tap(y0i + 1, x0i + 1)
-    return (
-        v00 * (1 - fy) * (1 - fx)
-        + v01 * (1 - fy) * fx
-        + v10 * fy * (1 - fx)
-        + v11 * fy * fx
-    )
+    w00 = (1 - fy) * (1 - fx)
+    w01 = (1 - fy) * fx
+    w10 = fy * (1 - fx)
+    w11 = fy * fx
+    if chan:
+        w00, w01, w10, w11 = (
+            w00[..., None], w01[..., None], w10[..., None], w11[..., None]
+        )
+    return v00 * w00 + v01 * w01 + v10 * w10 + v11 * w11
 
 
 class _FlatPyramid(NamedTuple):
-    """Per-octave gaussian stacks flattened into one 1-D gradient buffer so
+    """Per-octave gaussian stacks flattened into one gradient buffer so
     every read over selected keypoints is a single gather — the per-level
     masked gather loop this replaces dominated the whole detect stage
-    (measured ~7x on TPU at 1024 keypoints)."""
+    (measured ~7x on TPU at 1024 keypoints). gx/gy are PAIRED as the two
+    channels of one (rows, 2) buffer: pyramid gathers are row-latency-bound
+    on this chip (~70k rows/ms regardless of row width), so one 2-wide
+    gather costs half of two 1-wide ones."""
 
-    gx: Array  # flat x-gradients of every octave stack
-    gy: Array  # flat y-gradients
-    base: Array  # (n,) flat offset of each keypoint's octave
+    g2: Array  # (total_rows, 2) = (gx, gy) of every octave stack
+    base: Array  # (n,) flat row offset of each keypoint's octave
     h: Array  # (n,) octave image height
     w: Array  # (n,) octave image width
     hw: Array  # (n,) h * w
@@ -351,17 +452,22 @@ class _FlatPyramid(NamedTuple):
 def _flat_pyramid(gauss_octs: list, oct_idx: Array) -> _FlatPyramid:
     import numpy as _np
 
-    gx_flat = jnp.concatenate(
-        [(0.5 * (jnp.roll(g, -1, 2) - jnp.roll(g, 1, 2))).reshape(-1) for g in gauss_octs]
-    )
-    gy_flat = jnp.concatenate(
-        [(0.5 * (jnp.roll(g, -1, 1) - jnp.roll(g, 1, 1))).reshape(-1) for g in gauss_octs]
+    g2 = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    (0.5 * (jnp.roll(g, -1, 2) - jnp.roll(g, 1, 2))).reshape(-1),
+                    (0.5 * (jnp.roll(g, -1, 1) - jnp.roll(g, 1, 1))).reshape(-1),
+                ],
+                axis=-1,
+            )
+            for g in gauss_octs
+        ]
     )
     sizes = [g.shape[1] * g.shape[2] for g in gauss_octs]  # H_o * W_o (static)
     bases = _np.cumsum([0] + [g.size for g in gauss_octs])[:-1]
     return _FlatPyramid(
-        gx=gx_flat,
-        gy=gy_flat,
+        g2=g2,
         base=jnp.asarray(bases, jnp.int32)[oct_idx],
         h=jnp.asarray([g.shape[1] for g in gauss_octs], jnp.int32)[oct_idx],
         w=jnp.asarray([g.shape[2] for g in gauss_octs], jnp.int32)[oct_idx],
@@ -388,8 +494,8 @@ def _orientation_peaks(
     sx = x[:, None] + rad[:, None] * gxx.reshape(-1)[None, :]  # (n, G*G)
     sy = y[:, None] + rad[:, None] * gyy.reshape(-1)[None, :]
 
-    gxs = _bilinear_sample_flat(pyr.gx, pyr.base, s_lvl, sx, sy, pyr.h, pyr.w, pyr.hw)
-    gys = _bilinear_sample_flat(pyr.gy, pyr.base, s_lvl, sx, sy, pyr.h, pyr.w, pyr.hw)
+    g = _bilinear_sample_flat(pyr.g2, pyr.base, s_lvl, sx, sy, pyr.h, pyr.w, pyr.hw)
+    gxs, gys = g[..., 0], g[..., 1]
     mag = jnp.sqrt(gxs**2 + gys**2)
     ang = jnp.arctan2(gys, gxs)  # [-pi, pi]
     # Gaussian window sigma = 2.25 sigma_kp (wider than Lowe's 1.5 sigma:
@@ -470,8 +576,8 @@ def _descriptors_for(
     ca, sa = jnp.cos(angle)[:, None], jnp.sin(angle)[:, None]
     rx = x[:, None] + ca * gridx - sa * gridy
     ry = y[:, None] + sa * gridx + ca * gridy
-    gxd = _bilinear_sample_flat(pyr.gx, pyr.base, s_lvl, rx, ry, pyr.h, pyr.w, pyr.hw)
-    gyd = _bilinear_sample_flat(pyr.gy, pyr.base, s_lvl, rx, ry, pyr.h, pyr.w, pyr.hw)
+    g = _bilinear_sample_flat(pyr.g2, pyr.base, s_lvl, rx, ry, pyr.h, pyr.w, pyr.hw)
+    gxd, gyd = g[..., 0], g[..., 1]
     magd = jnp.sqrt(gxd**2 + gyd**2)
     angd = jnp.arctan2(gyd, gxd) - angle[:, None]
 
@@ -503,13 +609,13 @@ def _descriptors_for(
 # ---------------------------------------------------------------------------
 
 
-def _harris_response(img: Array, k: float = 0.04, sigma: float = 1.5) -> Array:
+def _harris_response(img: Array, k: float = 0.04, sigma: float = 1.5, impl: str = "matmul") -> Array:
     """Harris corner response map of a (H, W) image."""
     ix = 0.5 * (jnp.roll(img, -1, 1) - jnp.roll(img, 1, 1))
     iy = 0.5 * (jnp.roll(img, -1, 0) - jnp.roll(img, 1, 0))
-    ixx = _blur(ix * ix, sigma)
-    iyy = _blur(iy * iy, sigma)
-    ixy = _blur(ix * iy, sigma)
+    ixx = _blur(ix * ix, sigma, impl)
+    iyy = _blur(iy * iy, sigma, impl)
+    ixy = _blur(ix * iy, sigma, impl)
     det = ixx * iyy - ixy * ixy
     tr = ixx + iyy
     return det - k * tr * tr
@@ -521,7 +627,7 @@ def _octave_harris(img: Array, cfg: FrontendConfig, per_octave_k: int):
     Returns (x, y, response, valid), octave pixel coords.
     """
     h, w = img.shape
-    resp = _harris_response(img)
+    resp = _harris_response(img, impl=cfg.blur_impl)
     # 5x5 NMS: a 3x3 window lets corners cluster on strong texture, which
     # starves the rest of the image of the fixed keypoint budget and thins
     # the PnP consensus (measured on upenn) — wider suppression spreads
@@ -536,7 +642,7 @@ def _octave_harris(img: Array, cfg: FrontendConfig, per_octave_k: int):
     is_peak = (resp >= nms) & (resp > 0.0) & bm
     flat = jnp.where(is_peak, resp, 0.0).reshape(-1)
     k = min(per_octave_k, flat.shape[0])
-    top_resp, top_idx = jax.lax.top_k(flat, k)
+    top_resp, top_idx = _top_k_responses(flat, k, cfg)
     yy = (top_idx // w).astype(jnp.float32)
     xx = (top_idx % w).astype(jnp.float32)
     ok = top_resp > 0.0
@@ -603,14 +709,14 @@ def _detect_harris_brief(img: Array, cfg: FrontendConfig):
     """Harris + steered-BRIEF over a dyadic pyramid; global top-k merge."""
     per_octave_k = cfg.max_keypoints
     all_x, all_y, all_resp, all_ok, all_angle, all_desc = [], [], [], [], [], []
-    level = _blur(img, 1.0)
+    level = _blur(img, 1.0, cfg.blur_impl)
     for o in range(cfg.num_octaves):
         x, y, resp, ok = _octave_harris(level, cfg, per_octave_k)
         angle = _intensity_centroid_angle(level, x, y)
         # BRIEF compares single samples, so it needs a smoother image than
         # detection does (classic BRIEF: sigma ~2 pre-blur; ORB: 5x5 box) —
         # comparing on the detection level flips bits on pixel noise
-        desc_img = _blur(level, 2.0)
+        desc_img = _blur(level, 2.0, cfg.blur_impl)
         desc = _brief_describe(desc_img, x, y, angle, ok, cfg.descriptor_dim)
         scale_fr = 2.0**o
         all_x.append(x * scale_fr)
@@ -619,7 +725,7 @@ def _detect_harris_brief(img: Array, cfg: FrontendConfig):
         all_ok.append(ok)
         all_angle.append(angle)
         all_desc.append(desc)
-        level = _blur(_downsample2(level), 1.0)
+        level = _blur(_downsample2(level), 1.0, cfg.blur_impl)
 
     x = jnp.concatenate(all_x)
     y = jnp.concatenate(all_y)
@@ -673,40 +779,39 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
     # a 4x saving at num_octaves=4)
     per_octave_k = cfg.max_keypoints
     H0, W0 = img.shape
-    all_x, all_y, all_sidx, all_resp, all_ok, gauss_octs = [], [], [], [], [], []
+    all_x, all_y, all_sidx, all_resp, all_ok = [], [], [], [], []
+    gauss_octs, dog_octs = [], []
 
     # relative sigmas of levels 1..n-1 w.r.t. level 0 (Gaussian semigroup)
     rel_sigmas = [
         math.sqrt(max(sigmas[i] ** 2 - sigmas[0] ** 2, 1e-6))
         for i in range(1, n_levels)
     ]
-    all_soff = []
     if cfg.upsample_first_octave:
         # cv2-SIFT's octave -1: 2x bilinear upsample (the input is assumed
         # to carry sigma = 0.5 of blur, so the doubled image carries 1.0 and
         # the incremental blur to sigma0 is sqrt(sigma0^2 - 1))
         img = jax.image.resize(img, (H0 * 2, W0 * 2), "linear")
-        base = _blur(img, math.sqrt(max(cfg.sigma0**2 - 1.0, 0.01)))
+        base = _blur(img, math.sqrt(max(cfg.sigma0**2 - 1.0, 0.01)), cfg.blur_impl)
     else:
-        base = _blur(img, cfg.sigma0)
+        base = _blur(img, cfg.sigma0, cfg.blur_impl)
     for o in range(cfg.num_octaves):
-        gauss = _blur_levels(base, rel_sigmas)  # (S+3, H_o, W_o)
+        gauss = _blur_levels(base, rel_sigmas, cfg.blur_impl)  # (S+3, H_o, W_o)
         gauss_octs.append(gauss)
 
-        x, y, s_idx, soff, resp, ok = _octave_candidates(gauss, cfg, per_octave_k)
+        dog, x, y, s_idx, resp, ok = _octave_candidates(gauss, cfg, per_octave_k)
+        dog_octs.append(dog)
         all_x.append(x)
         all_y.append(y)
         all_sidx.append(s_idx)
-        all_soff.append(soff)
         all_resp.append(resp)
         all_ok.append(ok)
         # next octave: downsample the level with sigma = 2 sigma0
         base = _downsample2(gauss[S])
 
-    x = jnp.concatenate(all_x)  # octave-local coords
-    y = jnp.concatenate(all_y)
+    xi = jnp.concatenate(all_x)  # octave-local integer coords
+    yi = jnp.concatenate(all_y)
     s_idx = jnp.concatenate(all_sidx)
-    soff = jnp.concatenate(all_soff)
     resp = jnp.concatenate(all_resp)
     ok = jnp.concatenate(all_ok)
     oct_idx = jnp.concatenate(
@@ -716,11 +821,28 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
     # global top-k merge across octaves (on responses only)
     score = jnp.where(ok, resp, -1.0)
     top_score, top_idx = jax.lax.top_k(score, cfg.max_keypoints)
-    x, y = x[top_idx], y[top_idx]
+    xi, yi = xi[top_idx], yi[top_idx]
     s_idx, oct_sel = s_idx[top_idx], oct_idx[top_idx]
-    soff_sel = soff[top_idx]
     resp_sel = resp[top_idx]
     mask = top_score > 0.0
+
+    # 3-D (x, y, sigma) subpixel fit ONCE, for the merged winners only,
+    # over a flat concatenation of the per-octave DoG stacks
+    import numpy as _np
+
+    dog_flat = jnp.concatenate([d.reshape(-1) for d in dog_octs])
+    dsizes = [d.shape[1] * d.shape[2] for d in dog_octs]
+    dbases = _np.cumsum([0] + [d.size for d in dog_octs])[:-1]
+    ob = jnp.asarray(dbases, jnp.int32)[oct_sel]
+    oh = jnp.asarray([d.shape[1] for d in dog_octs], jnp.int32)[oct_sel]
+    ow = jnp.asarray([d.shape[2] for d in dog_octs], jnp.int32)[oct_sel]
+    ohw = jnp.asarray(dsizes, jnp.int32)[oct_sel]
+    ox, oy, soff_sel, mx, my, ms = _subpixel_offset_3d(
+        dog_flat, ob, oh, ow, ohw, S, s_idx, yi, xi
+    )
+    s_idx = s_idx + ms
+    x = (xi + mx).astype(jnp.float32) + ox
+    y = (yi + my).astype(jnp.float32) + oy
 
     # interpolated scale: fractional level from the 3-D subpixel fit; the
     # gradient level used for sampling is the nearest integer level
