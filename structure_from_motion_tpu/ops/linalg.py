@@ -16,11 +16,89 @@ def nullspace(A: Array) -> Array:
     """Unit null vector (right-singular vector of the smallest singular
     value) of each matrix in a batch ``(..., M, N)`` -> ``(..., N)``.
 
-    Uses a full SVD so wide systems (e.g. the 8x9 eight-point design matrix)
-    expose the true null direction.
+    Tall systems (M >= N) use the economy SVD — its (N, N) ``vh`` carries
+    every right-singular vector, and a full SVD would materialise the
+    (M, M) ``U`` (a 1 GB intermediate for the (16k, 12) all-inlier PnP
+    refit). Wide systems (e.g. the 8x9 eight-point design matrix) need the
+    full SVD to expose the true null direction.
     """
-    _, _, vh = jnp.linalg.svd(A, full_matrices=True)
+    wide = A.shape[-2] < A.shape[-1]
+    _, _, vh = jnp.linalg.svd(A, full_matrices=wide)
     return vh[..., -1, :]
+
+
+def inv4x4(A: Array, eps: float = 1e-30) -> Array:
+    """Closed-form cofactor inverse of ``(..., 4, 4)`` batches.
+
+    ~200 fused elementwise flops per matrix — on TPU this beats the
+    batched LU solve by ~5x and the batched SVD by ~30x at 8k matrices."""
+    m = [[A[..., i, j] for j in range(4)] for i in range(4)]
+
+    def det3(r, c):
+        rs = [x for x in range(4) if x != r]
+        cs = [x for x in range(4) if x != c]
+        a, b, c_ = [[m[rr][cc] for cc in cs] for rr in rs]
+        return (
+            a[0] * (b[1] * c_[2] - b[2] * c_[1])
+            - a[1] * (b[0] * c_[2] - b[2] * c_[0])
+            + a[2] * (b[0] * c_[1] - b[1] * c_[0])
+        )
+
+    cof = [[((-1) ** (i + j)) * det3(i, j) for j in range(4)] for i in range(4)]
+    det = sum(m[0][j] * cof[0][j] for j in range(4))
+    det = jnp.where(jnp.abs(det) < eps, jnp.where(det < 0, -eps, eps), det)
+    adjT = jnp.stack(
+        [jnp.stack([cof[i][j] for i in range(4)], -1) for j in range(4)], -2
+    )
+    return adjT / det[..., None, None]
+
+
+def nullspace_gram(A: Array, iters: int = 6) -> Array:
+    """Null vector of ``(..., M, N)`` batches via shifted inverse iteration
+    on the N x N gram matrix — the TPU-fast path for the DLT solves.
+
+    ``x_{k+1} = normalize((A^T A + eps I)^{-1} x_k)`` converges to the
+    eigenvector of the smallest eigenvalue at rate ~(lam_min+eps)/(lam_2+eps)
+    per step (eps = 1e-5 trace << lam_2 makes that ~1e-5 for rank-deficient
+    systems, so a handful of steps reaches f32 resolution); the inverse's
+    max-norm column already lies along the null direction and seeds x_0.
+    Inverse iteration is stable even with inexact solves: solve error
+    re-projects onto the dominant eigenspace of the inverse, which is the
+    target. Batched small SVDs on TPU cost ~30-50x more (measured:
+    (8192,4,4) SVD 47 ms vs 1.5 ms closed-form inverse + iterations).
+
+    Requires M >= N - 1 rank (a single null direction). Matches the SVD
+    null vector to ~4e-7 |dot| in f32 on DLT-shaped systems.
+    """
+    n = A.shape[-1]
+    G = jnp.einsum("...ki,...kj->...ij", A, A)
+    tr = jnp.trace(G, axis1=-2, axis2=-1)
+    eps = (1e-5 * tr + 1e-30)[..., None, None]
+    Gd = G + eps * jnp.eye(n, dtype=A.dtype)
+    if n == 4:
+        Ginv = inv4x4(Gd)
+    else:
+        Ginv = jnp.linalg.solve(
+            Gd, jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), Gd.shape)
+        )
+    # init: the inverse's largest-norm column (amplified along the null
+    # direction; immune to the unlucky-fixed-column failure mode)
+    norms = jnp.linalg.norm(Ginv, axis=-2)  # (..., n) column norms
+    best = jnp.argmax(norms, axis=-1)
+    x = jnp.take_along_axis(Ginv, best[..., None, None], axis=-1)[..., 0]
+    x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-30)
+    for _ in range(iters):
+        x = jnp.einsum("...ij,...j->...i", Ginv, x)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-30)
+    return x
+
+
+def use_fast_nullspace() -> bool:
+    """Gram-based nullspace on accelerators; exact SVD on CPU (the f64
+    oracle-parity tests run there, and gram squaring costs digits)."""
+    import jax
+
+    return jax.default_backend() != "cpu"
 
 
 def inv3x3(A: Array, eps: float = 1e-12) -> Array:

@@ -30,7 +30,11 @@ import jax.numpy as jnp
 from jax import Array
 
 from structure_from_motion_tpu.config import LMConfig, RansacConfig
-from structure_from_motion_tpu.ops.linalg import nullspace
+from structure_from_motion_tpu.ops.linalg import (
+    nullspace,
+    nullspace_gram,
+    use_fast_nullspace,
+)
 from structure_from_motion_tpu.ops.ransac import ransac
 from structure_from_motion_tpu.ops.reproj import (
     batched_residual_jacobians,
@@ -72,7 +76,10 @@ def solve_pnp_dlt(X: Array, meas_norm: Array, weights: Array | None = None):
     if weights is not None:
         w2 = jnp.concatenate([weights, weights], axis=-1)[..., None]
         W = W * w2
-    p = nullspace(W)  # (..., 12)
+    if use_fast_nullspace():
+        p = nullspace_gram(W)  # (..., 12): ~8x the batched SVD on TPU
+    else:
+        p = nullspace(W)  # (..., 12)
     P = p.reshape(*p.shape[:-1], 3, 4)
     A, b = P[..., :3], P[..., 3]
     uu, s, vh = jnp.linalg.svd(A)
@@ -132,9 +139,28 @@ def _lm_steps(
         JtJ = J.T @ J + lam * eye
         Jte = J.T @ res.reshape(-1)
         delta = jnp.linalg.solve(JtJ, Jte)
-        return C + delta[:3], quat_normalize(q + delta[3:])
+        return C + delta[:3], quat_normalize(q + delta[3:]), delta
 
-    C, q = jax.lax.fori_loop(0, iterations, step, (C, q))
+    # convergence early exit: the fixed-damping iteration is a contraction
+    # toward its fixed point, so stopping once ||delta|| ~ 0 returns the
+    # same pose as running out the full budget — and each iteration is
+    # ~0.16 ms of pure sequential latency on TPU at production N, so the
+    # typical frame (converged after a fraction of the budget) saves most
+    # of the crawl.
+    def cond(state):
+        _, _, i, dn = state
+        # ||delta||^2 below ~f32 resolution of the 7-vector: further steps
+        # cannot move the pose
+        return jnp.logical_and(i < iterations, dn > 1e-14)
+
+    def body(state):
+        C, q, i, _ = state
+        C2, q2, delta = step(i, (C, q))
+        return (C2, q2, i + 1, jnp.sum(delta * delta))
+
+    C, q, _, _ = jax.lax.while_loop(
+        cond, body, (C, q, jnp.asarray(0, jnp.int32), jnp.asarray(jnp.inf, X.dtype))
+    )
     return q, C
 
 

@@ -114,3 +114,32 @@ def test_triangulate_end_to_end_exact():
         triangulate(jnp.asarray(P), jnp.asarray(uv), jnp.asarray(mask), LMConfig(iterations=20))
     )
     np.testing.assert_allclose(Xh[:, :3], X_true, atol=1e-5)
+
+
+def test_nullspace_gram_matches_svd():
+    """The TPU-fast gram/inverse-iteration nullspace must agree with the
+    exact SVD null vector on DLT-shaped systems (it is the product path on
+    accelerator backends; CPU tests would otherwise never cover it)."""
+    from structure_from_motion_tpu.ops.linalg import nullspace, nullspace_gram
+
+    rng = np.random.default_rng(0)
+    # rank-3 (..., 4, 4) systems: random rows projected off a ground-truth
+    # null direction, mimicking two-view DLT design matrices
+    n_true = rng.normal(size=(512, 4))
+    n_true /= np.linalg.norm(n_true, axis=1, keepdims=True)
+    A = rng.normal(size=(512, 4, 4))
+    A -= np.einsum("bkj,bj,bi->bki", A, n_true, n_true)
+    ns = np.asarray(nullspace(jnp.asarray(A)))
+    ng = np.asarray(nullspace_gram(jnp.asarray(A)))
+    dots = np.abs(np.sum(ns * ng, axis=1))
+    assert dots.min() > 1 - 1e-9, dots.min()
+
+    # tall 12-column systems (PnP DLT refit shape)
+    n12 = rng.normal(size=(64, 12))
+    n12 /= np.linalg.norm(n12, axis=1, keepdims=True)
+    B = rng.normal(size=(64, 40, 12))
+    B -= np.einsum("bkj,bj,bi->bki", B, n12, n12)
+    ns = np.asarray(nullspace(jnp.asarray(B)))
+    ng = np.asarray(nullspace_gram(jnp.asarray(B)))
+    dots = np.abs(np.sum(ns * ng, axis=1))
+    assert dots.min() > 1 - 1e-9, dots.min()
