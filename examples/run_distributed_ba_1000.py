@@ -214,7 +214,7 @@ def main() -> int:
     }
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
-    print(json.dumps({k: report[k] for k in ("parallel_efficiency", "converged")}, indent=2))
+    print(json.dumps({k: report[k] for k in ("parallel_efficiency", "consistent_across_shardings")}, indent=2))
     print(f"-> {args.out}")
     return 0
 
