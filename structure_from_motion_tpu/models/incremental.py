@@ -118,7 +118,30 @@ def _match_stage(
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _bootstrap_stage(state: SfMState, key: Array, config: PipelineConfig) -> tuple[SfMState, dict]:
-    """Two-view bootstrap (reference ``ba_processor.py:63-135``)."""
+    """Two-view bootstrap (reference ``ba_processor.py:63-135``) with draw
+    redundancy: the whole map quality hangs on ONE F-RANSAC draw, and a
+    wrong-basin essential estimate can look healthy on the pair itself
+    (good two-view reprojection) while producing a depth-degenerate map no
+    third view can localize against (observed: a seed whose frame-2 PnP
+    got 3 inliers from 96 candidates). Two independent draws run inside
+    the same program and the one whose map has more points surviving the
+    FULL admission gates (cheirality + epipolar inlier + reprojection +
+    parallax) wins — degenerate geometry fails those gates in bulk.
+    """
+    k_a, k_b = jax.random.split(key)
+    st_a, info_a = _bootstrap_once(state, k_a, config)
+    st_b, info_b = _bootstrap_once(state, k_b, config)
+    use_b = info_b["new_points"] > info_a["new_points"]
+    st = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(use_b, b, a), st_a, st_b
+    )
+    info = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(use_b, b, a), info_a, info_b
+    )
+    return st, info
+
+
+def _bootstrap_once(state: SfMState, key: Array, config: PipelineConfig) -> tuple[SfMState, dict]:
     ref_keys, que_keys, ref_xy, que_xy, valid = tracks.matched_pair_arrays(state, 0, 1)
 
     F = find_fundamental(key, ref_xy, que_xy, valid, config.fundamental_ransac)
@@ -156,10 +179,23 @@ def _bootstrap_stage(state: SfMState, key: Array, config: PipelineConfig) -> tup
         jnp.stack([P_ref, P1]), uv, refine_mask, X2, config.triangulation_lm
     )
 
-    # map admission gate: cheirality AND epipolar inlier (improvement: the
-    # reference admits every cheirality-positive match, including F-RANSAC
-    # outliers, which poisons its map and BA with wrong correspondences)
-    keep = jnp.logical_and(cheir_ok, F.inliers)
+    # map admission gates — the same battery as incremental triangulation
+    # (`_triangulate_new_flat`); the reference admits every cheirality-
+    # positive match, including F-RANSAC outliers, which poisons its map
+    # and BA with wrong correspondences. The reprojection + parallax gates
+    # also make the two-draw selection above meaningful: a wrong-basin
+    # essential estimate yields points that fail them in bulk.
+    P_pair = jnp.stack([P_ref, P1])  # (2, 3, 4)
+    res, _ = reprojection_residuals(P_pair, Xh[:, :3], uv, obs_mask)
+    err = jnp.linalg.norm(res, axis=-1)  # (K, 2)
+    small = jnp.max(err, axis=1) < config.triangulation_max_error_px
+    r0 = Xh[:, :3] - state.cam_C[0]
+    r1 = Xh[:, :3] - C1
+    cosang = jnp.sum(r0 * r1, axis=1) / jnp.maximum(
+        jnp.linalg.norm(r0, axis=1) * jnp.linalg.norm(r1, axis=1), 1e-12
+    )
+    enough_parallax = cosang < jnp.cos(jnp.deg2rad(config.min_parallax_deg))
+    keep = cheir_ok & F.inliers & small & enough_parallax
     state, ids = tracks.allocate_points(state, Xh[:, :3], keep)
     state = tracks.set_tri_index(state, 0, ref_keys, ids, keep)
     state = tracks.set_tri_index(state, 1, que_keys, ids, keep)
