@@ -35,6 +35,12 @@ class RansacConfig:
     sample_num: int = 8
     iteration: int = 300
     seed: int = 0
+    # > 0: rank hypotheses on a random subset of this many valid
+    # correspondences instead of all of them (the (hypotheses x points)
+    # scoring matrix is the RANSAC bandwidth cost); the winner is always
+    # re-scored exactly on the full set. Subsampling only perturbs
+    # near-tie hypothesis ranking — consensus argmax is robust to it.
+    score_subset: int = 0
 
     def required_iterations(self) -> int:
         denom = math.log(1.0 - self.sample_confidence**self.sample_num)
@@ -210,7 +216,12 @@ class PipelineConfig:
     # ratios where minimal 6-point DLT fits are noisy.
     pnp_ransac: RansacConfig = dataclasses.field(
         default_factory=lambda: RansacConfig(
-            inlier_threshold=8.0, sample_num=6, iteration=1024
+            inlier_threshold=8.0, sample_num=6, iteration=1024,
+            # the PnP candidate set is the whole-map union (V*K rows);
+            # ranking 1024 hypotheses against a 2048-point sample scores
+            # identically in consensus terms at a quarter of the
+            # (hypotheses x points) bandwidth
+            score_subset=2048,
         )
     )
     # LM iteration budgets: the reference runs 300/100 fixed iterations

@@ -124,20 +124,29 @@ def _bootstrap_stage(state: SfMState, key: Array, config: PipelineConfig) -> tup
     (good two-view reprojection) while producing a depth-degenerate map no
     third view can localize against (observed: a seed whose frame-2 PnP
     got 3 inliers from 96 candidates). Two independent draws run inside
-    the same program and the one whose map has more points surviving the
-    FULL admission gates (cheirality + epipolar inlier + reprojection +
-    parallax) wins — degenerate geometry fails those gates in bulk.
+    the same program; each admits points through cheirality + epipolar
+    inlier + reprojection gates, and the draw with more admitted points
+    that ALSO clear the parallax threshold wins — wrong-basin geometry
+    triangulates depth-degenerate low-parallax points in bulk, so its
+    parallax-cleared count collapses even when raw admission looks normal.
+    (Low-parallax points themselves stay in the map: pruning them cost
+    0.5 px mean reprojection and ~20% of the map — they anchor rotation.)
     """
     k_a, k_b = jax.random.split(key)
     st_a, info_a = _bootstrap_once(state, k_a, config)
     st_b, info_b = _bootstrap_once(state, k_b, config)
-    use_b = info_b["new_points"] > info_a["new_points"]
+    # selection metric: admitted points that ALSO clear the parallax
+    # threshold — a wrong-basin essential fits its own pair (so admitted
+    # counts look normal) but triangulates depth-degenerate, low-parallax
+    # points in bulk, so this count collapses for the bad draw
+    use_b = info_b["parallax_ok"] > info_a["parallax_ok"]
     st = jax.tree_util.tree_map(
         lambda a, b: jnp.where(use_b, b, a), st_a, st_b
     )
     info = jax.tree_util.tree_map(
         lambda a, b: jnp.where(use_b, b, a), info_a, info_b
     )
+    info.pop("parallax_ok")
     return st, info
 
 
@@ -179,12 +188,14 @@ def _bootstrap_once(state: SfMState, key: Array, config: PipelineConfig) -> tupl
         jnp.stack([P_ref, P1]), uv, refine_mask, X2, config.triangulation_lm
     )
 
-    # map admission gates — the same battery as incremental triangulation
-    # (`_triangulate_new_flat`); the reference admits every cheirality-
-    # positive match, including F-RANSAC outliers, which poisons its map
-    # and BA with wrong correspondences. The reprojection + parallax gates
-    # also make the two-draw selection above meaningful: a wrong-basin
-    # essential estimate yields points that fail them in bulk.
+    # map admission: cheirality AND epipolar inlier AND two-view
+    # reprojection (the reference admits every cheirality-positive match,
+    # including F-RANSAC outliers, which poisons its map and BA with wrong
+    # correspondences). Low-PARALLAX points are deliberately KEPT in the
+    # map — measured: pruning them cost 0.5 px mean reprojection and ~20%
+    # of the map on the throughput config (they anchor rotation even when
+    # their depth is soft) — but they are counted separately as the
+    # two-draw selection metric above.
     P_pair = jnp.stack([P_ref, P1])  # (2, 3, 4)
     res, _ = reprojection_residuals(P_pair, Xh[:, :3], uv, obs_mask)
     err = jnp.linalg.norm(res, axis=-1)  # (K, 2)
@@ -195,7 +206,7 @@ def _bootstrap_once(state: SfMState, key: Array, config: PipelineConfig) -> tupl
         jnp.linalg.norm(r0, axis=1) * jnp.linalg.norm(r1, axis=1), 1e-12
     )
     enough_parallax = cosang < jnp.cos(jnp.deg2rad(config.min_parallax_deg))
-    keep = cheir_ok & F.inliers & small & enough_parallax
+    keep = cheir_ok & F.inliers & small
     state, ids = tracks.allocate_points(state, Xh[:, :3], keep)
     state = tracks.set_tri_index(state, 0, ref_keys, ids, keep)
     state = tracks.set_tri_index(state, 1, que_keys, ids, keep)
@@ -210,6 +221,10 @@ def _bootstrap_once(state: SfMState, key: Array, config: PipelineConfig) -> tupl
         "f_inliers": F.num_inliers,
         "cheirality_counts": counts,
         "new_points": jnp.sum(keep),
+        # draw-selection metric only (popped before the info dict leaves
+        # `_bootstrap_stage`): admitted points that also clear the parallax
+        # threshold — collapses for a wrong-basin essential draw
+        "parallax_ok": jnp.sum(keep & enough_parallax),
     }
     return state, info
 

@@ -35,7 +35,11 @@ from structure_from_motion_tpu.ops.linalg import (
     nullspace_gram,
     use_fast_nullspace,
 )
-from structure_from_motion_tpu.ops.ransac import ransac
+from structure_from_motion_tpu.ops.ransac import (
+    RansacResult,
+    ransac,
+    sample_index_sets,
+)
 from structure_from_motion_tpu.ops.reproj import (
     batched_residual_jacobians,
     pixel_residuals,
@@ -179,27 +183,54 @@ def linear_pnp_ransac(
     8 px, ``ba_processor.py:475-479``).
     """
     meas_norm = normalized_camera_coords(K, uv)
+    thr2 = config.inlier_threshold**2
 
     def fit(idx: Array):
         R, C = solve_pnp_dlt(X[idx], meas_norm[idx])
         return rotation_to_quat(R), C
 
-    def score(models) -> Array:
-        qs, Cs = models  # (K, 4), (K, 3)
-        res, depth = pixel_residuals(
-            K, Cs[:, None, :], qs[:, None, :], X[None, :, :], uv[None, :, :]
+    def inlier_matrix(qs, Cs, Xp, uvp):
+        res, _ = pixel_residuals(
+            K, Cs[:, None, :], qs[:, None, :], Xp[None, :, :], uvp[None, :, :]
         )
-        err = jnp.linalg.norm(res, axis=-1)  # (K, N)
-        return err < config.inlier_threshold
+        # squared-distance compare: same inliers, no sqrt pass over the
+        # (hypotheses x points) matrix
+        return jnp.sum(res * res, axis=-1) < thr2
 
-    res = ransac(
-        key,
-        mask,
-        num_hypotheses=config.num_hypotheses,
-        sample_size=config.sample_num,
-        fit=fit,
-        score=score,
-    )
+    n = X.shape[0]
+    sub_k = int(config.score_subset)
+    if 0 < sub_k < n:
+        # rank hypotheses on a random VALID subset — the full (H, N)
+        # scoring matrix is the RANSAC bandwidth cost and consensus
+        # ranking only needs a sample; the winner is re-scored exactly
+        # on the full set below
+        k_sub, k_draw = jax.random.split(key)
+        u = jnp.where(mask, jax.random.uniform(k_sub, (n,)), -jnp.inf)
+        _, sub = jax.lax.top_k(u, sub_k)
+        idx_sets = sample_index_sets(
+            k_draw, mask, config.num_hypotheses, config.sample_num
+        )
+        models = jax.vmap(fit)(idx_sets)
+        qs, Cs = models
+        inl_sub = inlier_matrix(qs, Cs, X[sub], uv[sub]) & mask[sub][None, :]
+        best = jnp.argmax(jnp.sum(inl_sub, axis=1))
+        q_best, C_best = qs[best], Cs[best]
+        full = inlier_matrix(q_best[None], C_best[None], X, uv)[0] & mask
+        res = RansacResult(
+            model=(q_best, C_best),
+            inliers=full,
+            num_inliers=jnp.sum(full),
+            best_index=best,
+        )
+    else:
+        res = ransac(
+            key,
+            mask,
+            num_hypotheses=config.num_hypotheses,
+            sample_size=config.sample_num,
+            fit=fit,
+            score=lambda models: inlier_matrix(models[0], models[1], X, uv),
+        )
     q_best, C_best = res.model
 
     # LO-RANSAC refinement (deliberate improvement over the reference, which

@@ -152,6 +152,48 @@ def test_pnp_with_outliers_and_padding(upenn_K):
     assert (inl[:n] & true_in).sum() > 0.9 * true_in.sum()
 
 
+def test_pnp_subset_scoring_matches_full(upenn_K):
+    """``RansacConfig.score_subset``: ranking hypotheses on a random valid
+    subset (the (hypotheses x points) scoring matrix is the bandwidth cost)
+    must still land in the true consensus basin, and the winner's inlier
+    set is re-scored exactly on the full point set — so padded rows stay
+    excluded and the recovered pose matches the full-scoring path's
+    quality bounds on the same contaminated scene."""
+    rng = np.random.default_rng(2)
+    R_true = ScipyRotation.from_rotvec([-0.1, 0.25, 0.05]).as_matrix()
+    C_true = np.array([0.5, -1.0, 0.3])
+    n, cap = 300, 512
+    X = rng.uniform([-4, -4, 5], [4, 4, 15], size=(n, 3))
+    Xc = (R_true.T @ (X - C_true).T).T
+    uv = (upenn_K @ np.vstack([(Xc[:, :2] / Xc[:, 2:3]).T, np.ones(n)])).T[:, :2]
+    uv += rng.normal(size=(n, 2)) * 0.5
+    out_idx = rng.choice(n, 90, replace=False)
+    uv[out_idx] += rng.uniform(40, 200, size=(90, 2))
+    X_p = np.vstack([X, np.zeros((cap - n, 3))])
+    uv_p = np.vstack([uv, np.zeros((cap - n, 2))])
+    mask = np.concatenate([np.ones(n, dtype=bool), np.zeros(cap - n, dtype=bool)])
+
+    res = jax.jit(
+        lambda k, X, uv, m: estimate_pnp(
+            k, X, uv, jnp.asarray(upenn_K), m,
+            RansacConfig(
+                inlier_threshold=8.0, sample_num=6, iteration=300,
+                score_subset=128,
+            ),
+            LMConfig(damping=5.0, iterations=100),
+        )
+    )(jax.random.key(3), jnp.asarray(X_p), jnp.asarray(uv_p), jnp.asarray(mask))
+
+    ang, loc = pose_errors(res.R, res.C, R_true, C_true)
+    assert ang < 0.5, ang
+    assert loc < 0.05, loc
+    inl = np.asarray(res.inliers)
+    assert not inl[n:].any()
+    true_in = np.ones(n, dtype=bool)
+    true_in[out_idx] = False
+    assert (inl[:n] & true_in).sum() > 0.9 * true_in.sum()
+
+
 def test_refine_pnp_recovers_from_perturbation(upenn_K):
     rng = np.random.default_rng(4)
     R_true = ScipyRotation.from_rotvec([0.05, -0.15, 0.2]).as_matrix()
