@@ -48,9 +48,14 @@ def initialize_distributed(
     if already is not None:
         return True
 
-    on_tpu_pod = jax.default_backend() == "tpu" and os.environ.get(
-        "TPU_WORKER_HOSTNAMES"
-    )
+    # ``jax.distributed.initialize`` must run BEFORE anything touches the
+    # XLA backend — including ``jax.default_backend()`` — so pod detection
+    # here is environment-only: multi-worker TPU runtimes export
+    # TPU_WORKER_HOSTNAMES as a comma-separated list with one entry PER
+    # worker, so >1 entry means a pod (a single-host TPU VM lists just
+    # itself and needs no distributed runtime).
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    on_tpu_pod = len([w for w in workers.split(",") if w.strip()]) > 1
     if coordinator_address is None and not on_tpu_pod:
         return False  # single process: nothing to initialise
 
