@@ -113,8 +113,19 @@ def cmd_reconstruct(args) -> int:
             return engine.process_image(load_image_grayscale(path))
         from structure_from_motion_tpu.utils import checkpoint as ckpt
 
+        # the cache key must cover every config knob that changes the
+        # features themselves — loading 128-d float SIFT descriptors into a
+        # harris/Hamming run would silently produce garbage matches
+        import hashlib
+        import json as _json
+
+        fe_tag = hashlib.sha1(
+            _json.dumps(dataclasses.asdict(cfg.frontend), sort_keys=True).encode()
+        ).hexdigest()[:10]
         cpath = os.path.join(
-            cache_dir, os.path.basename(path) + f".kp{cfg.frontend.max_keypoints}.npz"
+            cache_dir,
+            os.path.basename(path)
+            + f".{cfg.frontend.detector}.kp{cfg.frontend.max_keypoints}.{fe_tag}.npz",
         )
         if os.path.exists(cpath):
             xy, desc, valid = ckpt.load_features_cache(cpath)

@@ -127,9 +127,10 @@ class MatcherConfig:
     ratio: float = 0.7
     cross_check: bool = False
     # distance/top-2 backend: "auto" uses the fused Pallas kernel on TPU for
-    # the L2 metric when key capacities are 256-aligned and cross_check is
-    # off (measured ~15% faster than the XLA matmul + top_k path at 1-2k
-    # keys); "xla"/"pallas" force a path.
+    # the L2 metric when key capacities fit its tiling (ref keys: x256 or a
+    # single x128 tile; que keys: x512 or a single x128 tile) and
+    # cross_check is off (measured ~15% faster than the XLA matmul + top_k
+    # path at 1-2k keys); "xla"/"pallas" force a path.
     impl: str = "auto"
     # "l2" for float descriptors (sift/dog), "hamming" for +-1 binary codes
     # (harris/brief) — the reference's L2-vs-Hamming BFMatcher switch

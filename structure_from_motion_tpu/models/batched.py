@@ -63,6 +63,12 @@ class BatchedIncrementalSfM:
     ):
         if config.frontend.max_keypoints != config.capacity.max_keypoints:
             raise ValueError("frontend.max_keypoints must equal capacity.max_keypoints")
+        if config.ba_num_shards > 1:
+            raise NotImplementedError(
+                "BatchedIncrementalSfM does not support ba_num_shards > 1 "
+                "(a vmapped shard_map would nest batch and mesh axes); use "
+                "the single-sequence IncrementalSfM for distributed BA"
+            )
         if config.window_mode == "slide":
             raise NotImplementedError(
                 "BatchedIncrementalSfM does not implement sliding-window "

@@ -207,14 +207,17 @@ def _bootstrap_once(state: SfMState, key: Array, config: PipelineConfig) -> tupl
     )
     enough_parallax = cosang < jnp.cos(jnp.deg2rad(config.min_parallax_deg))
     keep = cheir_ok & F.inliers & small
-    state, ids = tracks.allocate_points(state, Xh[:, :3], keep)
-    state = tracks.set_tri_index(state, 0, ref_keys, ids, keep)
-    state = tracks.set_tri_index(state, 1, que_keys, ids, keep)
+    # `stored` = keep minus capacity overflow: recording an overflowed id
+    # (>= M) into tri_index / the obs store would corrupt BA via clamped
+    # gathers, so every write below gates on it
+    state, ids, stored = tracks.allocate_points(state, Xh[:, :3], keep)
+    state = tracks.set_tri_index(state, 0, ref_keys, ids, stored)
+    state = tracks.set_tri_index(state, 1, que_keys, ids, stored)
     state = tracks.append_observations(
-        state, jnp.zeros_like(ids), ids, ref_xy, keep
+        state, jnp.zeros_like(ids), ids, ref_xy, stored
     )
     state = tracks.append_observations(
-        state, jnp.ones_like(ids), ids, que_xy, keep
+        state, jnp.ones_like(ids), ids, que_xy, stored
     )
     info = {
         "matches": jnp.sum(valid),
@@ -375,11 +378,14 @@ def _triangulate_new_flat(
     enough_parallax = cosang < jnp.cos(jnp.deg2rad(config.min_parallax_deg))
     keep = cand & cheir & small & enough_parallax
 
-    state, ids = tracks.allocate_points(state, Xh[:, :3], keep)
-    state = tracks.set_tri_index_flat(state, u_idx, ref_keys, ids, keep)
-    state = tracks.set_tri_index(state, v, flat_tgt, ids, keep)
-    state = tracks.append_observations(state, u_idx, ids, ref_xy, keep)
-    state = tracks.append_observations(state, jnp.full_like(ids, 0) + v, ids, que_xy, keep)
+    # gate all recording on `stored` (= keep minus capacity overflow; an
+    # id >= M in tri_index or the obs store would gather-clamp onto point
+    # M-1 inside BA)
+    state, ids, stored = tracks.allocate_points(state, Xh[:, :3], keep)
+    state = tracks.set_tri_index_flat(state, u_idx, ref_keys, ids, stored)
+    state = tracks.set_tri_index(state, v, flat_tgt, ids, stored)
+    state = tracks.append_observations(state, u_idx, ids, ref_xy, stored)
+    state = tracks.append_observations(state, jnp.full_like(ids, 0) + v, ids, que_xy, stored)
     return state
 
 

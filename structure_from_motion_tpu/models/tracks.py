@@ -134,25 +134,30 @@ def allocate_points(state: SfMState, X: Array, mask: Array):
     """Append masked new points to the map.
 
     ``X``: (N, 3) candidates, ``mask``: (N,) which to keep. Returns
-    (state, ids (N,) int32) where ids[i] is the assigned map id (garbage
-    where ``mask`` is False — callers must gate on the same mask).
-    Overflow beyond capacity is dropped (ids >= M scatter to nowhere).
+    (state, ids (N,) int32, stored (N,) bool): ids[i] is the assigned map
+    id (garbage where ``stored`` is False). ``stored`` is ``mask`` minus
+    capacity overflow — candidates past capacity are counted in
+    ``dropped_points`` and get ids >= M, so every downstream recording
+    (tri_index, observation store) MUST gate on ``stored``, not ``mask``:
+    an id >= M written into those stores would later be gather-clamped to
+    point M-1, silently corrupting BA with another point's position.
     """
     ranks = jnp.cumsum(mask.astype(jnp.int32)) - 1
     ids = state.num_points + ranks
     M = state.points.shape[0]
-    dest = jnp.where(mask, ids, M)
+    stored = jnp.logical_and(mask, ids < M)
+    dest = jnp.where(stored, ids, M)
     points = state.points.at[dest].set(X, mode="drop")
-    pt_valid = state.pt_valid.at[dest].set(mask, mode="drop")
+    pt_valid = state.pt_valid.at[dest].set(stored, mode="drop")
     n_new = jnp.sum(mask, dtype=jnp.int32)
-    kept = jnp.clip(M - state.num_points, 0, n_new)
+    kept = jnp.sum(stored, dtype=jnp.int32)
     state = state._replace(
         points=points,
         pt_valid=pt_valid,
         num_points=jnp.minimum(state.num_points + n_new, M).astype(jnp.int32),
         dropped_points=(state.dropped_points + n_new - kept).astype(jnp.int32),
     )
-    return state, ids.astype(jnp.int32)
+    return state, ids.astype(jnp.int32), stored
 
 
 def set_tri_index(state: SfMState, v: Array, keys: Array, ids: Array, mask: Array) -> SfMState:

@@ -87,13 +87,20 @@ def match_descriptors(
     reference's trainIdx dedup, ``key_tracker.py:276-291``).
     ``config.metric`` picks L2 (float descriptors) or Hamming (+-1 codes).
     """
+    def _tile_ok(n: int, tile: int) -> bool:
+        # pallas_match_top2 tiles at min(tile, n): n must divide into the
+        # tile when n >= tile, and be lane-aligned (x128) when it IS the
+        # tile — e.g. 768 ref keys pass a naive %256 check but crash the
+        # 512-wide query tiling
+        return n % tile == 0 if n >= tile else n % 128 == 0
+
     use_pallas = config.metric == "l2" and not config.cross_check and (
         config.impl == "pallas"
         or (
             config.impl == "auto"
             and jax.default_backend() == "tpu"
-            and desc_ref.shape[0] % 256 == 0
-            and desc_que.shape[0] % 256 == 0
+            and _tile_ok(desc_ref.shape[0], 256)
+            and _tile_ok(desc_que.shape[0], 512)
         )
     )
     if config.metric == "hamming":

@@ -44,7 +44,17 @@ def load_state(path: str) -> tuple[SfMState, int, list]:
 
     with np.load(path) as data:
         frame = int(data["__frame"])
-        fields = {f: jnp.asarray(data[f]) for f in SfMState._fields}
+        # scalar int32 counters added to the schema after a checkpoint was
+        # written (e.g. dropped_points/dropped_obs) default to zero so old
+        # checkpoints stay loadable
+        fields = {
+            f: (
+                jnp.asarray(data[f])
+                if f in data
+                else jnp.asarray(0, jnp.int32)
+            )
+            for f in SfMState._fields
+        }
         archive = []
         if "__archive_C" in data:
             aC = jnp.asarray(data["__archive_C"])

@@ -19,7 +19,7 @@ def _tiny_state():
     st = tracks.set_camera(st, 0, jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]))
     st = tracks.set_camera(st, 1, jnp.asarray([1.0, 0, 0]), jnp.asarray([1.0, 0, 0, 0]))
     X = np.array([[0.0, 0, 5], [1.0, 1, 6], [-1.0, 0.5, 7]])
-    st, ids = tracks.allocate_points(st, jnp.asarray(X), jnp.ones(3, bool))
+    st, ids, _ = tracks.allocate_points(st, jnp.asarray(X), jnp.ones(3, bool))
     for cam, C in ((0, np.zeros(3)), (1, np.array([1.0, 0, 0]))):
         xc = X - C
         uv = np.stack([100 * xc[:, 0] / xc[:, 2] + 32, 100 * xc[:, 1] / xc[:, 2] + 32], 1)

@@ -222,7 +222,7 @@ def test_prune_compacts_stores():
     # 3 points in front of both cameras; give each 2 observations at the
     # true projections, then poison point 1's observations
     X = np.array([[0.0, 0, 5], [1.0, 1, 6], [-1.0, 0.5, 7]])
-    st, ids = tracks.allocate_points(st, jnp.asarray(X), jnp.ones(3, bool))
+    st, ids, _ = tracks.allocate_points(st, jnp.asarray(X), jnp.ones(3, bool))
     for cam, C in ((0, np.zeros(3)), (1, np.array([1.0, 0, 0]))):
         uvs = []
         for x in X:
@@ -244,7 +244,7 @@ def test_prune_compacts_stores():
     assert int(st2.num_obs) == 4 == int(np.asarray(st2.obs_valid).sum())
     # compaction means the next allocation reuses the freed slot
     assert validate_state(st2._replace(cam_valid=st2.cam_valid)) == []
-    st3, _ = tracks.allocate_points(st2, jnp.ones((1, 3)), jnp.ones(1, bool))
+    st3, _, _ = tracks.allocate_points(st2, jnp.ones((1, 3)), jnp.ones(1, bool))
     assert int(st3.num_points) == 3
 
 
@@ -260,11 +260,17 @@ def test_capacity_overflow_is_counted():
     cap = CapacityConfig(max_views=2, max_keypoints=8, max_points=4, max_observations=4)
     st = tracks.init_state(cap, np.eye(3))
     st = tracks.set_camera(st, 0, jnp.zeros(3), jnp.asarray([1.0, 0, 0, 0]))
-    st, ids = tracks.allocate_points(
+    st, ids, stored = tracks.allocate_points(
         st, jnp.arange(18.0).reshape(6, 3), jnp.ones(6, bool)
     )
     assert int(st.num_points) == 4
     assert int(st.dropped_points) == 2
+    # overflow candidates must be excluded from `stored` (their ids are
+    # >= capacity; recording them would corrupt downstream gathers) and
+    # every stored id must be in range
+    stored_np = np.asarray(stored)
+    assert stored_np.sum() == 4
+    assert (np.asarray(ids)[stored_np] < 4).all()
     st = tracks.append_observations(
         st, jnp.zeros(6, jnp.int32), jnp.clip(ids, 0, 3), jnp.ones((6, 2)),
         jnp.ones(6, bool),
