@@ -403,7 +403,13 @@ def run_bundle_adjustment(
         cand, cost = _lm_body(st, lam, obs, config, psum, sorted_by_point=True)
         if not config.adaptive:
             return (cand, lam), cost
-        new_cost = total_reprojection_cost(cand, obs, psum)
+        # the accept test must compare the SAME objective _assemble charged
+        # `cost` under — with huber_delta > 0 a raw-cost comparison
+        # systematically rejects improving steps on contaminated maps (raw
+        # >= Huber always, so outliers inflate only the candidate's side)
+        new_cost = total_reprojection_cost(
+            cand, obs, psum, huber_delta=config.huber_delta
+        )
         accept = new_cost < cost
         st_next = jax.tree_util.tree_map(
             lambda a, b: jnp.where(accept, a, b), cand, st
@@ -424,12 +430,16 @@ def total_reprojection_cost(
     state: BAState,
     obs: BAObservations,
     psum: Callable[[Array], Array] | None = None,
+    huber_delta: float = 0.0,
 ) -> Array:
     """Sum of squared normalised-coordinate residuals over valid
-    observations (the quantity BA minimises)."""
+    observations. With ``huber_delta > 0`` residuals are IRLS-weighted
+    exactly like :func:`_assemble`'s cost (sum of min(r^2, delta*|r|)) —
+    the adaptive accept test passes ``config.huber_delta`` so both sides
+    of the comparison measure the same robust objective."""
     res, _, _ = batched_residual_jacobians(
         state.C[obs.cam], state.q[obs.cam], state.X[obs.point], obs.uv_norm
     )
-    w = obs.valid.astype(res.dtype)
+    w = huber_weights(res, huber_delta) * obs.valid.astype(res.dtype)
     cost = jnp.sum((res * w[:, None]) ** 2)
     return cost if psum is None else psum(cost)

@@ -452,12 +452,17 @@ class _FlatPyramid(NamedTuple):
 def _flat_pyramid(gauss_octs: list, oct_idx: Array) -> _FlatPyramid:
     import numpy as _np
 
+    # one-sided differences at the image edges (jnp.gradient), NOT
+    # jnp.roll: rolled central differences wrap around and difference
+    # pixels from the OPPOSITE edge — orientation/descriptor supports of
+    # border-8 keypoints reach rows/cols 0 and H-1/W-1, where a
+    # cross-image gradient corrupts the dominant orientation
     g2 = jnp.concatenate(
         [
             jnp.stack(
                 [
-                    (0.5 * (jnp.roll(g, -1, 2) - jnp.roll(g, 1, 2))).reshape(-1),
-                    (0.5 * (jnp.roll(g, -1, 1) - jnp.roll(g, 1, 1))).reshape(-1),
+                    jnp.gradient(g, axis=2).reshape(-1),
+                    jnp.gradient(g, axis=1).reshape(-1),
                 ],
                 axis=-1,
             )
