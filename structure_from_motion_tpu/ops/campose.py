@@ -88,12 +88,20 @@ def refine_relative_pose(
     from structure_from_motion_tpu.utils.rotations import so3_exp
 
     t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
-    # tangent basis at t
-    up = jnp.where(jnp.abs(t[2]) < 0.9, jnp.array([0.0, 0.0, 1.0], t.dtype),
-                   jnp.array([1.0, 0.0, 0.0], t.dtype))
-    e1 = jnp.cross(t, up)
-    e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-12)
-    e2 = jnp.cross(t, e1)
+
+    def tangent_basis(tt):
+        # recomputed from the CURRENT t every step — a basis frozen at the
+        # initial t stops being orthogonal to t as it drifts, and the
+        # off-sphere step component is then silently removed by the
+        # renormalisation (shrinking the effective translation update)
+        up = jnp.where(
+            jnp.abs(tt[2]) < 0.9,
+            jnp.array([0.0, 0.0, 1.0], tt.dtype),
+            jnp.array([1.0, 0.0, 0.0], tt.dtype),
+        )
+        e1 = jnp.cross(tt, up)
+        e1 = e1 / jnp.maximum(jnp.linalg.norm(e1), 1e-12)
+        return e1, jnp.cross(tt, e1)
 
     x1h = jnp.concatenate([x1n, jnp.ones_like(x1n[:, :1])], axis=1)
     x2h = jnp.concatenate([x2n, jnp.ones_like(x2n[:, :1])], axis=1)
@@ -108,6 +116,7 @@ def refine_relative_pose(
         W = so3_hat(p[:3])
         dR = jnp.eye(3, dtype=R.dtype) + W + 0.5 * (W @ W)
         R_w2c = (R0 @ dR).T  # update cam-to-world R0 on the right
+        e1, e2 = tangent_basis(t0)
         tt = t0 + p[3] * e1 + p[4] * e2
         tt = tt / jnp.maximum(jnp.linalg.norm(tt), 1e-12)
         tx = jnp.array(
@@ -136,6 +145,7 @@ def refine_relative_pose(
         p = -jnp.linalg.solve(JtJ, J.T @ r)
         dR = so3_exp(p[:3])
         R_new = R_cur @ dR  # cam-to-world, right-multiplied local update
+        e1, e2 = tangent_basis(t_cur)
         t_new = t_cur + p[3] * e1 + p[4] * e2
         t_new = t_new / jnp.maximum(jnp.linalg.norm(t_new), 1e-12)
         return R_new, t_new

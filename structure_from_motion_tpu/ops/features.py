@@ -328,11 +328,10 @@ def _bilinear_sample(img: Array, x: Array, y: Array) -> Array:
 def _top_k_responses(resp: Array, k: int, cfg: FrontendConfig):
     """Per-octave candidate selection over a flattened response map.
 
-    ``lax.top_k`` fully sorts the multi-million-entry map; on TPU the
-    ``approx_max_k`` PartialReduce keeps >= ~95% of the exact winners
-    (the tail it may swap consists of near-threshold detections with
-    near-identical responses) at a fraction of the cost. ``cfg.topk``:
-    "auto" (approx on TPU), "exact", "approx".
+    ``lax.top_k`` fully sorts the multi-million-entry map and is the
+    default (``cfg.topk="exact"``); ``"approx"`` opts into
+    ``approx_max_k`` (~6 ms faster per octave on TPU but quality-lossy —
+    see below), any other value falls through to exact.
     """
     mode = cfg.topk
     if mode == "approx":

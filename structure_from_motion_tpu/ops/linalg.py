@@ -8,6 +8,7 @@ closed forms — cheaper than LAPACK-style iterations and fully fusible.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -144,9 +145,9 @@ def solve_psd(A: Array, b: Array, damping: float = 0.0) -> Array:
         eye = jnp.eye(A.shape[-1], dtype=A.dtype)
         A = A + damping * eye
     L = jnp.linalg.cholesky(A)
-    # cho_solve is not exposed in jnp; two triangular solves via solve on L, L^T
-    z = jnp.linalg.solve(L, b[..., None])[..., 0]
-    return jnp.linalg.solve(jnp.swapaxes(L, -1, -2), z[..., None])[..., 0]
+    # triangular back-substitution (jnp.linalg.solve on L would run a
+    # full LU factorisation of the already-factored triangle)
+    return jax.scipy.linalg.cho_solve((L, True), b[..., None])[..., 0]
 
 
 def pcg_solve(matvec, b: Array, iterations: int, rtol: float = 1e-6, precond=None) -> Array:

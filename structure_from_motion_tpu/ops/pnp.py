@@ -127,6 +127,10 @@ def _lm_steps(
         res, J_cam, _ = batched_residual_jacobians(
             jnp.broadcast_to(C, (n, 3)), jnp.broadcast_to(q, (n, 4)), X, meas_norm
         )
+        # static off for python <= 0; a traced delta (combined_pnp passes
+        # inlier_threshold/fx, traced because K is) always compiles the
+        # Huber branch, where a runtime ZERO must mean "off" (weight 1),
+        # not "zero every IRLS weight"
         if not (isinstance(huber_delta, (int, float)) and huber_delta <= 0.0):
             delta = jnp.asarray(huber_delta, X.dtype)
             nrm = jnp.linalg.norm(res, axis=-1)
@@ -135,7 +139,7 @@ def _lm_steps(
                     nrm <= delta, 1.0, delta / jnp.maximum(nrm, 1e-12)
                 )
             )
-            mm = m * hw
+            mm = m * jnp.where(delta > 0.0, hw, 1.0)
         else:
             mm = m
         res = res * mm[:, None]
