@@ -95,3 +95,45 @@ def test_cheirality_mask_synthetic():
         cheirality_mask(jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(X), mask)
     )
     assert ok.tolist() == [True, False, False]  # masked point never passes
+
+
+def test_refine_relative_pose_converges_from_distant_init():
+    """Essential-manifold GN pulls a 20-deg-off translation direction back
+    to the truth (the upenn bootstrap starts ~11 deg off; see
+    refine_relative_pose docstring) and keeps t unit-norm."""
+    import jax
+
+    from structure_from_motion_tpu.ops.campose import refine_relative_pose
+    from structure_from_motion_tpu.utils.rotations import so3_exp
+
+    rng = np.random.default_rng(1)
+    n = 200
+    X = rng.uniform([-4, -3, 8], [4, 3, 16], size=(n, 3)).astype(np.float32)
+    R_true = np.asarray(so3_exp(jnp.asarray([0.05, -0.12, 0.03], jnp.float32)))
+    t_true = np.array([0.8, 0.15, 0.55], np.float32)
+    t_true /= np.linalg.norm(t_true)
+    # x2'^T E x1 = 0 with E = [t]x R_w2c and R cam-to-world
+    Xc2 = X @ R_true + t_true
+    x1n = (X[:, :2] / X[:, 2:3]).astype(np.float32)
+    x2n = (Xc2[:, :2] / Xc2[:, 2:3]).astype(np.float32)
+    mask = np.ones(n, bool)
+
+    ang = np.deg2rad(20.0)
+    ax = np.cross(t_true, [0.0, 0.0, 1.0])
+    ax /= np.linalg.norm(ax)
+    W = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]])
+    rot = np.eye(3) + np.sin(ang) * W + (1 - np.cos(ang)) * W @ W
+    t0 = (rot @ t_true).astype(np.float32)
+
+    R2, t2, C2 = refine_relative_pose(
+        jnp.asarray(R_true), jnp.asarray(t0),
+        jnp.asarray(x1n), jnp.asarray(x2n), jnp.asarray(mask),
+    )
+    t2 = np.asarray(t2)
+    assert abs(np.linalg.norm(t2) - 1.0) < 1e-5
+    err_deg = np.rad2deg(np.arccos(np.clip(abs(t2 @ t_true), -1.0, 1.0)))
+    assert err_deg < 0.1, err_deg
+    # C = -R t consistency
+    np.testing.assert_allclose(
+        np.asarray(C2), -np.asarray(R2) @ t2, rtol=1e-5, atol=1e-6
+    )
