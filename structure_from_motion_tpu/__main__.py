@@ -180,6 +180,25 @@ def cmd_reconstruct(args) -> int:
             f"p95 {stats['p95_px']:.3f}px"
         )
 
+    if args.export_colmap:
+        from structure_from_motion_tpu.io.colmap import export_colmap_text
+
+        h, w = np.asarray(load_image_grayscale(files[0])).shape[:2]
+        counts = export_colmap_text(
+            os.path.join(args.out, "colmap"),
+            locs,
+            rots,
+            np.asarray(engine.state.K),
+            (w, h),
+            image_names=[os.path.basename(f) for f in files[: len(locs)]],
+            state=engine.state,
+        )
+        print(
+            f"COLMAP model -> {args.out}/colmap "
+            f"({counts['images']} images, {counts['points']} points, "
+            f"{counts['observations']} observations)"
+        )
+
     if args.plot:
         from structure_from_motion_tpu.utils.visualization import (
             plot_reconstruction_xz,
@@ -272,6 +291,12 @@ def main(argv=None) -> int:
     )
     r.add_argument("--checkpoint-every", type=int, default=0)
     r.add_argument("--plot", action="store_true")
+    r.add_argument(
+        "--export-colmap", action="store_true",
+        help="also write a COLMAP text model (cameras/images/points3D.txt) "
+             "under <out>/colmap/ for downstream tools (COLMAP GUI, OpenMVS, "
+             "Nerfstudio)",
+    )
     r.set_defaults(fn=cmd_reconstruct)
 
     s = sub.add_parser("selftest", help="synthetic end-to-end smoke test")

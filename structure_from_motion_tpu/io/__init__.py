@@ -1,5 +1,9 @@
-"""Dataset loading, image decoding, and feature caches."""
+"""Dataset loading, image decoding, feature caches, and model export."""
 
+from structure_from_motion_tpu.io.colmap import (  # noqa: F401
+    export_colmap_text,
+    read_colmap_text,
+)
 from structure_from_motion_tpu.io.datasets import (  # noqa: F401
     load_image_grayscale,
     load_points_txt,

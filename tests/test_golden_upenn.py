@@ -216,3 +216,40 @@ def test_upenn_binary_frontend_e2e(reference_dataset_path):
         i["pnp_inliers"] for i in infos
     ]
     assert np.linalg.norm(locs[-1] - locs[0]) > 0.3 * span
+
+
+def test_upenn_dog_frontend_e2e(reference_dataset_path, cv2_oracle_traj):
+    """End-to-end trajectory with the NATIVE DoG frontend at full
+    resolution (the throughput config bench.py times): the on-device
+    detector + descriptor must carry the whole pipeline to oracle-grade
+    accuracy, not just produce two-view inlier counts. CPU-measured
+    2026-08-17: ATE 1.06-1.08% of span, reprojection ~1.5 px, min PnP
+    inliers 220+ (seeds 0-1)."""
+    from structure_from_motion_tpu.io import load_image_grayscale, upenn_intrinsics
+
+    d = os.path.join(reference_dataset_path, "upenn")
+    imgs = [
+        load_image_grayscale(os.path.join(d, f"image{i:07d}.bmp")).astype(np.uint8)
+        for i in range(1, 7)
+    ]
+    kp = 1024
+    cfg = PipelineConfig(
+        frontend=FrontendConfig(max_keypoints=kp),
+        matcher=MatcherConfig(ratio=0.8),
+        capacity=CapacityConfig(
+            max_views=8, max_keypoints=kp, max_points=8192,
+            max_observations=32768,
+        ),
+    )
+    engine = IncrementalSfM(cfg, upenn_intrinsics(), frontend="native", seed=0)
+    infos = [engine.process_image(im) for im in imgs]
+    locs, _ = engine.poses()
+
+    o_locs, _ = cv2_oracle_traj
+    span = float(np.linalg.norm(o_locs.max(0) - o_locs.min(0)))
+    ate = absolute_trajectory_error(locs, o_locs)
+    assert ate < 0.025 * span, (ate, span)
+    assert infos[-1]["reprojection_px"] < 2.2, infos[-1]
+    assert min(i["pnp_inliers"] for i in infos[2:]) > 100, [
+        i["pnp_inliers"] for i in infos
+    ]

@@ -280,3 +280,83 @@ def test_capacity_overflow_is_counted():
     problems = validate_state(st)
     assert any("overflow" in p and "points" in p for p in problems), problems
     assert any("overflow" in p and "observations" in p for p in problems), problems
+
+
+def test_colmap_export_roundtrip(tmp_path):
+    """COLMAP text-model export: run the synthetic pipeline, export, parse
+    back, and verify (a) poses/K/points round-trip, (b) the w2c quaternion
+    convention reprojects tracked 2D observations, (c) track cross-refs
+    between images.txt and points3D.txt are consistent."""
+    from test_incremental import synthetic_sequence
+
+    from structure_from_motion_tpu.config import (
+        CapacityConfig, FrontendConfig, MatcherConfig, PipelineConfig,
+    )
+    from structure_from_motion_tpu.io.colmap import (
+        export_colmap_text, read_colmap_text,
+    )
+    from structure_from_motion_tpu.models import IncrementalSfM
+
+    K, frames, *_ = synthetic_sequence(n_views=4, n_points=200)
+    cfg = PipelineConfig(
+        frontend=FrontendConfig(max_keypoints=512),
+        matcher=MatcherConfig(ratio=0.9),
+        capacity=CapacityConfig(
+            max_views=8, max_keypoints=512, max_points=4096,
+            max_observations=16384,
+        ),
+    )
+    engine = IncrementalSfM(cfg, K, frontend="precomputed")
+    for f in frames:
+        engine.process_features(*f)
+    locs, rots = engine.poses()
+
+    out = str(tmp_path / "colmap")
+    counts = export_colmap_text(
+        out, locs, rots, K, (640, 480),
+        image_names=[f"im{i}.png" for i in range(len(locs))],
+        state=engine.state,
+    )
+    assert counts["images"] == len(locs)
+    assert counts["points"] > 100
+    assert counts["observations"] >= counts["points"]
+
+    model = read_colmap_text(out)
+    np.testing.assert_allclose(model["locs"], locs, atol=1e-6)
+    np.testing.assert_allclose(model["rots"], rots, atol=1e-6)
+    np.testing.assert_allclose(model["K"], K, atol=1e-6)
+    assert model["names"][0] == "im0.png"
+    assert model["points"].shape[0] == counts["points"]
+
+    # parse images.txt 2D observations for the convention check
+    rows = [
+        l.rstrip("\n")
+        for l in open(os.path.join(out, "images.txt"))
+        if not l.startswith("#")
+    ]
+    obs2d = {}  # image_id -> list of (x, y, pid)
+    for i in range(0, len(rows) - 1, 2):
+        img_id = int(rows[i].split()[0])
+        f = rows[i + 1].split()
+        obs2d[img_id] = [
+            (float(f[k]), float(f[k + 1]), int(f[k + 2]))
+            for k in range(0, len(f), 3)
+        ]
+
+    pts_by_id = dict(zip(model["point_ids"], model["points"]))
+    n_checked = 0
+    for pid, track in model["tracks"].items():
+        X = pts_by_id[pid]
+        for img_id, p2d_idx in track:
+            x, y, pid_ref = obs2d[img_id][p2d_idx]
+            assert pid_ref == pid  # cross-reference consistency
+            # COLMAP convention: x_cam = R_w2c X + t, pixel = K proj
+            R_c2w = model["rots"][img_id - 1]
+            C = model["locs"][img_id - 1]
+            Xc = R_c2w.T @ (X - C)
+            assert Xc[2] > 0
+            proj = model["K"] @ (Xc / Xc[2])
+            err = np.hypot(proj[0] - x, proj[1] - y)
+            assert err < 1.0, (pid, img_id, err)
+            n_checked += 1
+    assert n_checked == counts["observations"]
