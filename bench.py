@@ -267,7 +267,16 @@ def bench_pipeline():
     # full float frames: the uint8 quantisation that is fine for the
     # throughput config costs ~0.3 px through the 2x first octave
     float_frames = [load_image_grayscale(f) for f in files]
-    errs_up = []
+    # second accuracy anchor (BASELINE metric): full-trajectory ATE vs the
+    # pure-cv2 oracle pipeline (host-side, untimed)
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples"))
+    from oracle_crosscheck import cv2_trajectory
+
+    from structure_from_motion_tpu.utils.metrics import absolute_trajectory_error
+
+    o_locs, _ = cv2_trajectory([np.asarray(f) for f in float_frames], np.asarray(K))
+    span = float(np.linalg.norm(o_locs.max(0) - o_locs.min(0)))
+    errs_up, ates_up = [], []
     for seed in range(4):
         engine_q = IncrementalSfM(
             cfg_q, K, frontend="native", seed=seed, collect_metrics=False
@@ -276,6 +285,8 @@ def bench_pipeline():
             engine_q.process_image(fr)
         engine_q.finalize(iterations=10)
         errs_up.append(float(engine_q.reprojection_error()))
+        locs, _ = engine_q.poses()
+        ates_up.append(100.0 * absolute_trajectory_error(locs, o_locs) / span)
     reproj_upsampled = float(np.median(errs_up))
 
     extras = {
@@ -287,6 +298,8 @@ def bench_pipeline():
         "reprojection_px_1024kp_seeds": [round(e, 3) for e in errs_thr],
         "reprojection_px_1024kp_upsampled": round(reproj_upsampled, 4),
         "reprojection_px_1024kp_upsampled_seeds": [round(e, 3) for e in errs_up],
+        "ate_vs_cv2_oracle_pct_span": round(float(np.median(ates_up)), 3),
+        "ate_vs_cv2_oracle_pct_span_seeds": [round(a, 3) for a in ates_up],
         "map_points": int(len(engine.map_points())),
         "quality_note": "reprojection medians over seeds 0-3 (single-seed "
         "spread is ~±0.3 px on this 6-frame sequence)",
