@@ -68,6 +68,8 @@ def _build_config(args) -> "PipelineConfig":
         window_size=args.max_views,
         window_mode=args.window_mode,
         ba_num_shards=args.ba_shards,
+        distortion=tuple(args.dist) if args.dist else (),
+        keyframe_min_flow_px=args.keyframe_min_flow,
     )
 
 
@@ -98,8 +100,11 @@ def cmd_reconstruct(args) -> int:
     start = 0
     ckpt_path = os.path.join(args.out, "state.npz")
     if args.resume and os.path.exists(ckpt_path):
-        start = engine.load_checkpoint(ckpt_path)
-        print(f"resumed at frame {start}")
+        frame = engine.load_checkpoint(ckpt_path)
+        # resume at the next unseen INPUT file: with keyframe selection on,
+        # more inputs were consumed than frames accepted
+        start = engine._input_index
+        print(f"resumed at frame {frame} (input file {start})")
 
     cache_dir = os.path.join(args.out, "features") if args.cache_features else None
     if cache_dir:
@@ -136,9 +141,26 @@ def cmd_reconstruct(args) -> int:
         return engine.process_features(xy, desc, valid)
 
     t0 = time.time()
+    # filenames of ACCEPTED frames, aligned with engine.poses(); the
+    # checkpoint carries keyframe_indices, so the pre-resume prefix is exact
+    # (when the count still disagrees — e.g. a foreign checkpoint — the
+    # COLMAP export falls back to generated names rather than mislabel views)
+    accepted_names = [
+        os.path.basename(files[j])
+        for j in engine.keyframe_indices
+        if j < len(files)
+    ]
     for i, path in enumerate(files[start:], start=start):
         t1 = time.time()
         info = feed(path)
+        if info.get("keyframe_skipped"):
+            print(
+                f"{os.path.basename(path)}: skipped (median flow "
+                f"{info['flow_px']:.2f}px < {args.keyframe_min_flow}px)"
+            )
+            continue
+        if not info.get("skipped"):
+            accepted_names.append(os.path.basename(path))
         msg = "  ".join(
             f"{k}={info[k]}"
             for k in ("frame", "matches", "pnp_inliers", "new_points", "reprojection_px")
@@ -190,7 +212,7 @@ def cmd_reconstruct(args) -> int:
             rots,
             np.asarray(engine.state.K),
             (w, h),
-            image_names=[os.path.basename(f) for f in files[: len(locs)]],
+            image_names=accepted_names if len(accepted_names) == len(locs) else None,
             state=engine.state,
         )
         print(
@@ -198,6 +220,13 @@ def cmd_reconstruct(args) -> int:
             f"({counts['images']} images, {counts['points']} points, "
             f"{counts['observations']} observations)"
         )
+
+    if args.export_ply:
+        from structure_from_motion_tpu.io.ply import export_ply
+
+        ply_path = os.path.join(args.out, "reconstruction.ply")
+        n_verts = export_ply(ply_path, pts, cameras=locs)
+        print(f"PLY point cloud -> {ply_path} ({n_verts} vertices)")
 
     if args.plot:
         from structure_from_motion_tpu.utils.visualization import (
@@ -263,6 +292,15 @@ def main(argv=None) -> int:
     r.add_argument("--fy", type=float, required=True)
     r.add_argument("--cx", type=float, required=True)
     r.add_argument("--cy", type=float, required=True)
+    r.add_argument(
+        "--dist",
+        type=float,
+        nargs="+",
+        default=None,
+        metavar="D",
+        help="lens distortion coefficients k1 k2 [p1 p2 [k3]] (OpenCV "
+        "Brown-Conrady); keypoints are undistorted on device at ingest",
+    )
     r.add_argument("--config", help="PipelineConfig JSON (overrides flags)")
     r.add_argument("--detector", choices=["dog", "harris"], default="dog")
     r.add_argument("--max-kp", type=int, default=2048)
@@ -296,6 +334,17 @@ def main(argv=None) -> int:
         help="also write a COLMAP text model (cameras/images/points3D.txt) "
              "under <out>/colmap/ for downstream tools (COLMAP GUI, OpenMVS, "
              "Nerfstudio)",
+    )
+    r.add_argument(
+        "--keyframe-min-flow", type=float, default=0.0, metavar="PX",
+        help="admit a frame only when its median match displacement vs the "
+             "last accepted frame is at least PX pixels (0 = every frame); "
+             "recommended for video input in --window-mode slide",
+    )
+    r.add_argument(
+        "--export-ply", action="store_true",
+        help="also write the sparse map + camera centers as "
+             "<out>/reconstruction.ply (MeshLab/CloudCompare/Open3D)",
     )
     r.set_defaults(fn=cmd_reconstruct)
 

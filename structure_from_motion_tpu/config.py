@@ -259,6 +259,22 @@ class PipelineConfig:
     # are dropped after every BA run, and points left with < 2 supporting
     # observations die. 0 disables.
     prune_max_error_px: float = 16.0
+    # Keyframe selection for video input: a frame is admitted only when the
+    # median optical displacement of its descriptor matches against the last
+    # ACCEPTED frame is at least this many pixels (0 = off, every frame is a
+    # keyframe — the reference's behaviour). Near-stationary frames carry no
+    # parallax: they waste window slots, thin the triangulation baselines,
+    # and in slide mode evict genuinely useful views. The flow statistic is
+    # computed on device (models/incremental._assess_frame); skipping a
+    # frame costs one detect+match dispatch and one scalar fetch.
+    keyframe_min_flow_px: float = 0.0
+    # Lens distortion coefficients (k1, k2, p1, p2[, k3]) in the OpenCV
+    # Brown-Conrady convention; () = ideal pinhole (the reference's implicit
+    # assumption — it has no distortion handling at all). When set, detected
+    # keypoint coordinates are undistorted ON DEVICE at the feature-ingest
+    # boundary (ops/distortion.py), so the whole downstream geometry stack
+    # stays pinhole-exact.
+    distortion: tuple = ()
     # distributed bundle adjustment: shard map points + observations over the
     # first N local devices (parallel/ba_sharded.py); cameras replicate and
     # the reduced camera system is psum-reduced once per LM iteration. 1 =
@@ -286,7 +302,14 @@ def _from_dict(klass: Any, data: Any) -> Any:
             continue
         ftype = {f.name: f for f in dataclasses.fields(klass)}[name].type
         target = _resolve_dataclass(ftype)
-        kwargs[name] = _from_dict(target, value) if target else value
+        if target:
+            kwargs[name] = _from_dict(target, value)
+        elif isinstance(value, list):
+            # JSON has no tuples; every sequence field here is a tuple (the
+            # configs must stay hashable for use as static jit arguments)
+            kwargs[name] = tuple(value)
+        else:
+            kwargs[name] = value
     return klass(**kwargs)
 
 

@@ -82,6 +82,12 @@ class BatchedIncrementalSfM:
                 "(a vmapped shard_map would nest batch and mesh axes); use "
                 "the single-sequence IncrementalSfM for distributed BA"
             )
+        if config.keyframe_min_flow_px > 0:
+            raise NotImplementedError(
+                "keyframe selection is per-lane data-dependent (lanes would "
+                "admit different frames and fall out of lockstep); use the "
+                "single-sequence IncrementalSfM for keyframed video"
+            )
         self.config = config
         self.batch = batch
         self.frontend = frontend

@@ -496,6 +496,13 @@ def _frame_step(
     the per-stage design costs ~6-8 RTTs per frame (~2s measured) while the
     device compute itself is ~ms. Fusing the frame into one traced program
     makes the steady state one dispatch."""
+    if any(config.distortion):
+        # known lens distortion: undistort measurements ONCE at ingest so
+        # every downstream residual is pinhole-exact (ops/distortion.py;
+        # the reference has no distortion handling anywhere)
+        from structure_from_motion_tpu.ops.distortion import undistort_pixels
+
+        xy = undistort_pixels(xy, state.K, config.distortion)
     state = tracks.set_view_features(state, v, xy, desc, valid)
     k_match, k_stage = jax.random.split(key)
     state = _match_stage(state, v, k_match, config=config)
@@ -543,6 +550,45 @@ def _frame_step(
     info["dropped_points"] = state.dropped_points
     info["dropped_obs"] = state.dropped_obs
     return state, info
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _assess_frame(
+    state: SfMState, prev_slot: Array, xy: Array, desc: Array, valid: Array,
+    config: PipelineConfig,
+) -> Array:
+    """Keyframe statistic: median pixel displacement of the candidate
+    frame's descriptor matches against the stored view ``prev_slot`` (the
+    last ACCEPTED frame). No fundamental gate — raw ratio matches are a
+    fine flow estimate and this runs before the frame is admitted.
+
+    Returns a large sentinel (so the frame is admitted) when fewer than 8
+    matches exist: a scene cut carries new content even with zero matched
+    flow, and rejecting it would stall the pipeline."""
+    import dataclasses
+
+    mcfg = dataclasses.replace(config.matcher, use_fundamental_gate=False)
+    res = match_descriptors(
+        state.kp_desc[prev_slot], desc, state.kp_valid[prev_slot], valid, mcfg
+    )
+    disp = jnp.linalg.norm(
+        xy[jnp.maximum(res.target, 0)] - state.kp_xy[prev_slot], axis=-1
+    )
+    disp = jnp.where(res.valid, disp, jnp.nan)
+    n = jnp.sum(res.valid)
+    return jnp.where(n >= 8, jnp.nanmedian(disp), jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _assess_frame_native(
+    state: SfMState, prev_slot: Array, img: Array, config: PipelineConfig
+):
+    """Fused detect + keyframe assessment: one dispatch returns the
+    features (reused by the frame step if the frame is admitted) plus the
+    flow statistic."""
+    kps, desc = detect_and_describe(img, config.frontend)
+    flow = _assess_frame(state, prev_slot, kps.xy, desc, kps.mask, config)
+    return kps.xy, desc, kps.mask, flow
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -603,12 +649,37 @@ class IncrementalSfM:
         # never recompiles.
         self._jit_frame_step = functools.partial(_frame_step, config=cfg)
         self._jit_frame_step_native = functools.partial(_frame_step_native, config=cfg)
+        self._jit_assess = functools.partial(_assess_frame, config=cfg)
+        self._jit_assess_native = functools.partial(_assess_frame_native, config=cfg)
         self._jit_detect = functools.partial(detect_and_describe, cfg=cfg.frontend)
         self._jit_reproj = _reproj_jit
         self._window = min(config.capacity.max_views, config.window_size)
         # archived (evicted) poses in sliding-window mode: a host list of
         # unsynced device arrays — no round trip until poses() is called
         self._archive: list = []
+        # keyframe selection diagnostics: input index of every ACCEPTED
+        # frame (== identity when keyframe_min_flow_px == 0)
+        self._input_index = 0
+        self.keyframe_indices: list = []
+
+    def _keyframe_flow(self, assess) -> float | None:
+        """Run the keyframe gate; returns the flow statistic, or None when
+        gating is off / no previous view exists. ``assess`` is a thunk
+        dispatching the jitted assessment against the last accepted slot."""
+        if self.config.keyframe_min_flow_px <= 0 or self._frame < 1:
+            return None
+        prev_slot = min(self._frame, self._window) - 1
+        return assess(jnp.asarray(prev_slot))
+
+    def _skip_info(self, flow: float) -> dict:
+        info = {
+            "keyframe_skipped": True,
+            "flow_px": flow,
+            "frame": self._frame,
+            "input_index": self._input_index,
+        }
+        self._input_index += 1
+        return info
 
     # -- feeding frames ----------------------------------------------------
     def _begin_frame(self, v: int):
@@ -624,9 +695,28 @@ class IncrementalSfM:
 
     def process_image(self, img) -> dict:
         """One frame from a raw image: a SINGLE device dispatch (frontend +
-        matching + geometry + BA fused into one jitted program)."""
+        matching + geometry + BA fused into one jitted program). With
+        ``config.keyframe_min_flow_px`` set, low-parallax frames are
+        rejected first (one fused detect+assess dispatch + a scalar fetch);
+        admitted frames reuse the detected features, so detection never
+        runs twice."""
         if self.frontend != "native":
             raise RuntimeError("process_image requires the native frontend")
+        img = jnp.asarray(img)
+        if self.config.keyframe_min_flow_px > 0 and self._frame >= 1:
+            xy = desc = valid = None
+
+            def assess(prev_slot):
+                nonlocal xy, desc, valid
+                xy, desc, valid, flow = self._jit_assess_native(
+                    self.state, prev_slot, img
+                )
+                return float(flow)
+
+            flow = self._keyframe_flow(assess)
+            if flow < self.config.keyframe_min_flow_px:
+                return self._skip_info(flow)
+            return self._process_feature_arrays(xy, desc, valid, flow_px=flow)
         v = self._frame
         slot = self._begin_frame(v)
         if slot is None:
@@ -635,28 +725,47 @@ class IncrementalSfM:
             self.state,
             jnp.asarray(slot),
             jax.random.fold_in(self._key, v),
-            jnp.asarray(img),
+            img,
         )
         return self._finish_frame(v, info)
 
     def process_features(self, xy, desc, valid) -> dict:
+        dtype = self.state.kp_xy.dtype
+        xy = jnp.asarray(xy, dtype)
+        desc = jnp.asarray(desc, dtype)
+        valid = jnp.asarray(valid, bool)
+        flow = self._keyframe_flow(
+            lambda prev_slot: float(
+                self._jit_assess(self.state, prev_slot, xy, desc, valid)
+            )
+        )
+        if flow is not None and flow < self.config.keyframe_min_flow_px:
+            return self._skip_info(flow)
+        return self._process_feature_arrays(xy, desc, valid, flow_px=flow)
+
+    def _process_feature_arrays(self, xy, desc, valid, flow_px=None) -> dict:
+        """Admit a frame whose features are already device arrays."""
         v = self._frame
         slot = self._begin_frame(v)
         if slot is None:
             return {"skipped": True, "frame": v}
-        dtype = self.state.kp_xy.dtype
         self.state, info = self._jit_frame_step(
             self.state,
             jnp.asarray(slot),
             jax.random.fold_in(self._key, v),
-            jnp.asarray(xy, dtype),
-            jnp.asarray(desc, dtype),
-            jnp.asarray(valid, bool),
+            xy,
+            desc,
+            valid,
         )
-        return self._finish_frame(v, info)
+        info = self._finish_frame(v, info)
+        if flow_px is not None:
+            info["flow_px"] = flow_px
+        return info
 
     def _finish_frame(self, v: int, info: dict) -> dict:
         self._frame = v + 1
+        self.keyframe_indices.append(self._input_index)
+        self._input_index += 1
         info = dict(info)
         info["frame"] = v
         if self.collect_metrics:
@@ -674,13 +783,20 @@ class IncrementalSfM:
         silently drop every evicted camera from :meth:`poses`)."""
         from structure_from_motion_tpu.utils import checkpoint as ckpt
 
-        ckpt.save_state(path, self.state, self._frame, archive=self._archive)
+        ckpt.save_state(
+            path,
+            self.state,
+            self._frame,
+            archive=self._archive,
+            keyframes=(self.keyframe_indices, self._input_index),
+        )
 
     def load_checkpoint(self, path: str) -> int:
         """Restore :meth:`save_checkpoint` output; returns the resume frame."""
         from structure_from_motion_tpu.utils import checkpoint as ckpt
 
-        self.state, self._frame, self._archive = ckpt.load_state(path)
+        self.state, self._frame, self._archive, kf = ckpt.load_state(path)
+        self.keyframe_indices, self._input_index = kf
         return self._frame
 
     # -- results -----------------------------------------------------------

@@ -96,9 +96,9 @@ def set_view_features(
 ) -> SfMState:
     """Store one view's fixed-size keypoint buffers at row ``v``."""
     return state._replace(
-        kp_xy=state.kp_xy.at[v].set(xy),
-        kp_desc=state.kp_desc.at[v].set(desc),
-        kp_valid=state.kp_valid.at[v].set(valid),
+        kp_xy=state.kp_xy.at[v].set(jnp.asarray(xy, state.kp_xy.dtype)),
+        kp_desc=state.kp_desc.at[v].set(jnp.asarray(desc, state.kp_desc.dtype)),
+        kp_valid=state.kp_valid.at[v].set(jnp.asarray(valid, bool)),
     )
 
 
@@ -124,8 +124,8 @@ def record_matches(
 
 def set_camera(state: SfMState, v: Array, C: Array, q: Array) -> SfMState:
     return state._replace(
-        cam_C=state.cam_C.at[v].set(C),
-        cam_q=state.cam_q.at[v].set(q),
+        cam_C=state.cam_C.at[v].set(jnp.asarray(C, state.cam_C.dtype)),
+        cam_q=state.cam_q.at[v].set(jnp.asarray(q, state.cam_q.dtype)),
         cam_valid=state.cam_valid.at[v].set(True),
     )
 
@@ -147,7 +147,7 @@ def allocate_points(state: SfMState, X: Array, mask: Array):
     M = state.points.shape[0]
     stored = jnp.logical_and(mask, ids < M)
     dest = jnp.where(stored, ids, M)
-    points = state.points.at[dest].set(X, mode="drop")
+    points = state.points.at[dest].set(jnp.asarray(X, state.points.dtype), mode="drop")
     pt_valid = state.pt_valid.at[dest].set(stored, mode="drop")
     n_new = jnp.sum(mask, dtype=jnp.int32)
     kept = jnp.sum(stored, dtype=jnp.int32)
@@ -196,7 +196,7 @@ def append_observations(
     return state._replace(
         obs_cam=state.obs_cam.at[dest].set(cam.astype(jnp.int32), mode="drop"),
         obs_pt=state.obs_pt.at[dest].set(point.astype(jnp.int32), mode="drop"),
-        obs_uv=state.obs_uv.at[dest].set(uv, mode="drop"),
+        obs_uv=state.obs_uv.at[dest].set(jnp.asarray(uv, state.obs_uv.dtype), mode="drop"),
         obs_valid=state.obs_valid.at[dest].set(kept, mode="drop"),
         num_obs=jnp.minimum(
             state.num_obs + jnp.sum(kept, dtype=jnp.int32), O

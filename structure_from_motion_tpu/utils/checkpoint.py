@@ -16,29 +16,46 @@ import numpy as np
 from structure_from_motion_tpu.models.tracks import SfMState
 
 
-def save_state(path: str, state: SfMState, frame: int, archive=None) -> None:
+def save_state(
+    path: str,
+    state: SfMState,
+    frame: int,
+    archive=None,
+    keyframes: tuple | None = None,
+) -> None:
     """Write the full pipeline state to one ``.npz`` file.
 
     ``archive``: optional sequence of ``(C (3,), q (4,))`` pose pairs evicted
     by sliding-window mode (``IncrementalSfM._archive``). Without it a resume
     in slide mode would silently forget every pre-eviction camera pose.
+
+    ``keyframes``: optional ``(keyframe_indices, next_input_index)`` from the
+    keyframe-selection gate, so a resumed run keeps the exact accepted-input
+    bookkeeping (input-file <-> view alignment).
     """
     arrays = {f: np.asarray(getattr(state, f)) for f in state._fields}
     arrays["__frame"] = np.asarray(frame)
     if archive:
         arrays["__archive_C"] = np.stack([np.asarray(c) for c, _ in archive])
         arrays["__archive_q"] = np.stack([np.asarray(q) for _, q in archive])
+    if keyframes is not None:
+        indices, next_input = keyframes
+        arrays["__keyframe_indices"] = np.asarray(indices, np.int64)
+        arrays["__next_input_index"] = np.asarray(next_input)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         np.savez_compressed(f, **arrays)
     os.replace(tmp, path)
 
 
-def load_state(path: str) -> tuple[SfMState, int, list]:
+def load_state(path: str) -> tuple[SfMState, int, list, tuple]:
     """Load a state written by :func:`save_state`.
 
-    Returns ``(state, frame, archive)`` where ``archive`` is a list of
-    ``(C, q)`` device-array pairs (empty when no poses were archived).
+    Returns ``(state, frame, archive, keyframes)`` where ``archive`` is a
+    list of ``(C, q)`` device-array pairs (empty when no poses were
+    archived) and ``keyframes`` is ``(keyframe_indices, next_input_index)``
+    (defaults to identity bookkeeping, ``(range(frame), frame)``, for
+    checkpoints written before keyframe selection existed or with it off).
     """
     import jax.numpy as jnp
 
@@ -60,7 +77,14 @@ def load_state(path: str) -> tuple[SfMState, int, list]:
             aC = jnp.asarray(data["__archive_C"])
             aq = jnp.asarray(data["__archive_q"])
             archive = [(aC[i], aq[i]) for i in range(aC.shape[0])]
-    return SfMState(**fields), frame, archive
+        if "__keyframe_indices" in data:
+            keyframes = (
+                [int(i) for i in data["__keyframe_indices"]],
+                int(data["__next_input_index"]),
+            )
+        else:
+            keyframes = (list(range(frame)), frame)
+    return SfMState(**fields), frame, archive, keyframes
 
 
 def save_features_cache(path: str, xy, desc, valid) -> None:

@@ -84,13 +84,15 @@ def test_checkpoint_roundtrip(tmp_path):
 
     cap = CapacityConfig(max_views=4, max_keypoints=64, max_points=128, max_observations=256)
     st = init_state(cap, np.eye(3))
-    st = st._replace(points=st.points.at[3].set(jnp.asarray([1.0, 2.0, 3.0])),
+    st = st._replace(points=st.points.at[3].set(jnp.asarray([1.0, 2.0, 3.0], st.points.dtype)),
                      num_points=jnp.asarray(4, jnp.int32))
     path = str(tmp_path / "state.npz")
     save_state(path, st, frame=2)
-    st2, frame, archive = load_state(path)
+    st2, frame, archive, keyframes = load_state(path)
     assert frame == 2
     assert archive == []
+    # identity bookkeeping default for checkpoints without keyframe data
+    assert keyframes == ([0, 1], 2)
     for f in st._fields:
         np.testing.assert_array_equal(np.asarray(getattr(st, f)), np.asarray(getattr(st2, f)))
 
@@ -138,7 +140,7 @@ def test_checkpoint_resume_equivalence():
         path = f"{d}/state.npz"
         save_state(path, first.state, frame=2)
         resumed = IncrementalSfM(cfg, K, frontend="precomputed", seed=0)
-        resumed.state, resumed._frame, resumed._archive = load_state(path)
+        resumed.state, resumed._frame, resumed._archive, _ = load_state(path)
         for f in frames[2:]:
             resumed.process_features(*f)
 
@@ -360,3 +362,24 @@ def test_colmap_export_roundtrip(tmp_path):
             assert err < 1.0, (pid, img_id, err)
             n_checked += 1
     assert n_checked == counts["observations"]
+
+
+def test_ply_export_roundtrip(tmp_path):
+    """PLY export (both encodings): vertices round-trip bit-exactly at f32
+    and cameras are colour-separable from map points."""
+    from structure_from_motion_tpu.io.ply import export_ply, read_ply
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(257, 3)).astype(np.float32)
+    cams = rng.normal(size=(6, 3)).astype(np.float32)
+    for binary in (True, False):
+        path = str(tmp_path / f"model_{binary}.ply")
+        n = export_ply(path, pts, cameras=cams, binary=binary)
+        assert n == len(pts) + len(cams)
+        xyz, rgb = read_ply(path)
+        assert xyz.shape == (n, 3)
+        np.testing.assert_allclose(xyz[: len(pts)], pts, atol=1e-6)
+        np.testing.assert_allclose(xyz[len(pts):], cams, atol=1e-6)
+        # camera vertices are the red ones
+        is_cam = rgb[:, 0] > rgb[:, 1]
+        assert is_cam.sum() == len(cams) and is_cam[len(pts):].all()
