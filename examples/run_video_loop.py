@@ -52,6 +52,10 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--noise", type=float, default=2.0, help="pixel noise sigma")
     ap.add_argument(
+        "--no-ba-bucketing", action="store_true",
+        help="disable capacity-adaptive BA bucketing (A/B numerics check)",
+    )
+    ap.add_argument(
         "--out",
         default=os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -101,6 +105,7 @@ def main() -> int:
         window_size=args.window,
         window_mode="slide",
         ba_num_shards=args.ba_shards,
+        ba_bucketing=not args.no_ba_bucketing,
     )
     engine = IncrementalSfM(
         cfg, upenn_intrinsics(), frontend="native", seed=args.seed,

@@ -282,6 +282,16 @@ class PipelineConfig:
     # divisible by N. The reference has no distributed backend at all
     # (SURVEY.md section 5); this is the BASELINE.json north-star axis.
     ba_num_shards: int = 1
+    # Capacity-adaptive BA bucketing: the point/observation stores are
+    # prefix-packed (appends are contiguous, eviction/pruning compact), so
+    # the per-frame BA can run on the smallest power-of-2 prefix bucket
+    # that holds the LIVE counts instead of the full allocated capacity —
+    # a lax.switch over statically-sliced variants, picked on device by
+    # num_points/num_obs. Measured on the upenn config (1.8k live obs in a
+    # 32k-slot store): 19 ms -> <4 ms for the 3-iteration BA. Costs one
+    # extra compile per bucket. Disabled automatically under vmap
+    # (BatchedIncrementalSfM), where lax.switch executes every branch.
+    ba_bucketing: bool = True
 
     # -- (de)serialisation -------------------------------------------------
     def to_json(self) -> str:

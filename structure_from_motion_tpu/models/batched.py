@@ -30,6 +30,7 @@ No reference analogue (the reference is strictly single-sequence,
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -88,6 +89,11 @@ class BatchedIncrementalSfM:
                 "admit different frames and fall out of lockstep); use the "
                 "single-sequence IncrementalSfM for keyframed video"
             )
+        if config.ba_bucketing:
+            # under vmap a lax.switch lowers to "execute every branch and
+            # select", so the adaptive buckets would COST instead of save;
+            # run the batch at full capacity
+            config = dataclasses.replace(config, ba_bucketing=False)
         self.config = config
         self.batch = batch
         self.frontend = frontend

@@ -435,6 +435,55 @@ def _ba_stage(state: SfMState, config: PipelineConfig) -> tuple[SfMState, Array,
         )
         out, costs = sharded_bundle_adjustment(st_p, part, config.ba, make_mesh(S))
         out = out._replace(X=deinterleave_points(out.X, S))
+    elif config.ba_bucketing:
+        # capacity-adaptive bucketing: the stores are prefix-packed (appends
+        # are contiguous and eviction/pruning compact), so BA can run on the
+        # smallest halved prefix that holds the live counts. The allocated
+        # capacity is the user's worst case; early frames and steady-state
+        # sliding windows live far below it, and every BA kernel scales with
+        # the padded store size, not the live size (measured 19 ms -> <4 ms
+        # at upenn scale). lax.switch picks the bucket on device.
+        M = state.points.shape[0]
+        O = state.obs_cam.shape[0]
+        ladder = [(M, O)]
+        while len(ladder) < 4:
+            m, o = ladder[-1]
+            if m % 2 or o % 2 or m // 2 < 256 or o // 2 < 1024:
+                break
+            ladder.append((m // 2, o // 2))
+
+        def make_branch(m: int, o: int):
+            def branch(st: SfMState):
+                bs = ba_state._replace(
+                    X=st.points[:m], pt_valid=st.pt_valid[:m]
+                )
+                ob = BAObservations(
+                    cam=st.obs_cam[:o],
+                    point=st.obs_pt[:o],
+                    uv_norm=normalized_camera_coords(st.K, st.obs_uv[:o]),
+                    valid=st.obs_valid[:o],
+                )
+                res, costs = run_bundle_adjustment(bs, ob, config.ba)
+                pts = jax.lax.dynamic_update_slice(st.points, res.X, (0, 0))
+                return st._replace(cam_C=res.C, cam_q=res.q, points=pts), costs
+
+            return branch
+
+        # fits[k] is monotone (same live counts, shrinking buckets), so the
+        # branch index = number of halved levels that still fit
+        idx = jnp.asarray(0, jnp.int32)
+        for m, o in ladder[1:]:
+            idx = idx + jnp.logical_and(
+                state.num_points <= m, state.num_obs <= o
+            ).astype(jnp.int32)
+        state, costs = jax.lax.switch(
+            idx, [make_branch(m, o) for m, o in ladder], state
+        )
+        if config.prune_max_error_px > 0:
+            state, _, _ = tracks.prune_observations(
+                state, config.prune_max_error_px
+            )
+        return state, costs, dropped
     else:
         out, costs = run_bundle_adjustment(ba_state, obs, config.ba)
     state = state._replace(cam_C=out.C, cam_q=out.q, points=out.X)

@@ -218,3 +218,29 @@ def test_sliding_window_long_sequence(pipeline_config):
     # the map stayed within capacity (evictions compact it)
     assert int(engine.state.num_points) <= cfg.capacity.max_points
     assert int(engine.state.num_obs) <= cfg.capacity.max_observations
+
+
+def test_ba_bucketing_matches_full_capacity(pipeline_config):
+    """Capacity-adaptive BA bucketing (config.ba_bucketing): running the
+    per-frame BA on the fitted power-of-2 prefix bucket must reproduce the
+    full-capacity trajectory up to float reduction order. The live counts
+    here (~hundreds of obs in a 16384-slot store) force the smallest
+    bucket, so the switch path is genuinely exercised."""
+    import dataclasses
+
+    K, frames, *_ = synthetic_sequence(n_views=5, n_points=300)
+
+    def run(bucketing):
+        cfg = dataclasses.replace(pipeline_config, ba_bucketing=bucketing)
+        e = IncrementalSfM(cfg, K, frontend="precomputed", seed=0)
+        for f in frames:
+            e.process_features(*f)
+        locs, rots = e.poses()
+        return np.asarray(locs), np.asarray(rots), np.asarray(e.map_points())
+
+    locs_b, rots_b, pts_b = run(True)
+    locs_f, rots_f, pts_f = run(False)
+    np.testing.assert_allclose(locs_b, locs_f, atol=1e-5)
+    np.testing.assert_allclose(rots_b, rots_f, atol=1e-5)
+    assert pts_b.shape == pts_f.shape
+    np.testing.assert_allclose(pts_b, pts_f, atol=1e-4)
