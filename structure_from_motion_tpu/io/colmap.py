@@ -57,9 +57,12 @@ def export_colmap_text(
     """Write a COLMAP text model.
 
     ``locs`` (F,3) camera centers and ``rots`` (F,3,3) cam-to-world
-    rotations — exactly :meth:`IncrementalSfM.poses` output. ``K`` (3,3)
-    shared intrinsics (the reference's single-K assumption).
-    ``image_size`` is (width, height) in pixels.
+    rotations — exactly :meth:`IncrementalSfM.poses` output. ``K``: (3,3)
+    shared intrinsics, or (V,3,3) per-view rows (``state.K``) for
+    heterogeneous input; when rows differ each image gets its own PINHOLE
+    camera entry (archived frames, whose per-view K is no longer held,
+    inherit the oldest live slot's K). ``image_size`` is (width, height)
+    in pixels.
 
     With ``state`` (an ``SfMState``) the export includes the sparse map and
     full observation tracks; the live window's device slots are assumed to
@@ -78,13 +81,29 @@ def export_colmap_text(
 
     q, t = _w2c(rots, locs)
 
+    # resolve per-image intrinsics: live slots are the LAST n_live images
+    if K.ndim == 3:
+        n_live = int(min(F, K.shape[0]))
+        per_image_K = np.broadcast_to(K[0], (F, 3, 3)).copy()
+        if n_live:
+            per_image_K[F - n_live:] = K[:n_live]
+    else:
+        per_image_K = np.broadcast_to(K, (F, 3, 3))
+    shared = bool(np.allclose(per_image_K, per_image_K[0]))
+    # camera id per image: one shared camera (the common case, and the
+    # reference's assumption) or one per image when intrinsics vary
+    cam_id = [1] * F if shared else list(range(1, F + 1))
+
     with open(os.path.join(out_dir, "cameras.txt"), "w") as fh:
         fh.write("# Camera list with one line of data per camera:\n")
         fh.write("#   CAMERA_ID, MODEL, WIDTH, HEIGHT, PARAMS[]\n")
-        fh.write(
-            f"1 PINHOLE {w} {h} {K[0, 0]:.10g} {K[1, 1]:.10g} "
-            f"{K[0, 2]:.10g} {K[1, 2]:.10g}\n"
-        )
+        for ci, Ki in (
+            [(1, per_image_K[0])] if shared else zip(cam_id, per_image_K)
+        ):
+            fh.write(
+                f"{ci} PINHOLE {w} {h} {Ki[0, 0]:.10g} {Ki[1, 1]:.10g} "
+                f"{Ki[0, 2]:.10g} {Ki[1, 2]:.10g}\n"
+            )
 
     # -- gather observations per image + tracks per point -------------------
     # obs2d[i] = list of (x, y, point3d_id); track[p] = list of
@@ -112,7 +131,8 @@ def export_colmap_text(
         Rw2c = np.swapaxes(rots[img], -1, -2)
         Xc = np.einsum("oij,oj->oi", Rw2c, np.asarray(state.points, np.float64)[o_pt] - locs[img])
         z = np.where(np.abs(Xc[:, 2]) < 1e-12, 1e-12, Xc[:, 2])
-        proj = (K @ np.concatenate([Xc[:, :2] / z[:, None], np.ones_like(z[:, None])], 1).T).T
+        homog = np.concatenate([Xc[:, :2] / z[:, None], np.ones_like(z[:, None])], 1)
+        proj = np.einsum("oij,oj->oi", per_image_K[img], homog)
         err = np.linalg.norm(proj[:, :2] - o_uv, axis=1)
         for c, p, (x, y), e in zip(img, o_pt, o_uv, err):
             i = int(c)
@@ -129,7 +149,7 @@ def export_colmap_text(
             fh.write(
                 f"{i + 1} "
                 + " ".join(f"{v:.12g}" for v in (*q[i], *t[i]))
-                + f" 1 {image_names[i]}\n"
+                + f" {cam_id[i]} {image_names[i]}\n"
             )
             fh.write(
                 " ".join(f"{x:.6g} {y:.6g} {pid}" for x, y, pid in obs2d[i])
@@ -165,26 +185,32 @@ def read_colmap_text(model_dir: str):
     :func:`export_colmap_text`; also reads models written by COLMAP itself).
 
     Returns a dict with ``locs`` (F,3) cam-to-world centers, ``rots``
-    (F,3,3) cam-to-world rotations, ``K`` (3,3), ``names``, ``points``
-    (P,3), ``point_ids`` (P,), and ``tracks`` (point_id -> [(image_id,
-    point2d_idx), ...]).
+    (F,3,3) cam-to-world rotations, ``K`` (3,3) (the first camera),
+    ``Ks`` (F,3,3) per-image intrinsics resolved through each image's
+    CAMERA_ID, ``names``, ``points`` (P,3), ``point_ids`` (P,), and
+    ``tracks`` (point_id -> [(image_id, point2d_idx), ...]).
     """
     from structure_from_motion_tpu.utils.rotations import quat_to_rotation
 
     with open(os.path.join(model_dir, "cameras.txt")) as fh:
         cam_rows = [l.split() for l in fh if l.strip() and not l.startswith("#")]
-    c = cam_rows[0]
-    model, params = c[1], [float(v) for v in c[4:]]
-    K = np.eye(3)
-    if model == "PINHOLE":
-        K[0, 0], K[1, 1], K[0, 2], K[1, 2] = params[:4]
-    elif model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL"):
-        K[0, 0] = K[1, 1] = params[0]
-        K[0, 2], K[1, 2] = params[1], params[2]
-    else:
-        raise ValueError(f"unsupported COLMAP camera model {model!r}")
 
-    names, qs, ts, ids = [], [], [], []
+    def _parse_camera(c):
+        model, params = c[1], [float(v) for v in c[4:]]
+        Kc = np.eye(3)
+        if model == "PINHOLE":
+            Kc[0, 0], Kc[1, 1], Kc[0, 2], Kc[1, 2] = params[:4]
+        elif model in ("SIMPLE_PINHOLE", "SIMPLE_RADIAL"):
+            Kc[0, 0] = Kc[1, 1] = params[0]
+            Kc[0, 2], Kc[1, 2] = params[1], params[2]
+        else:
+            raise ValueError(f"unsupported COLMAP camera model {model!r}")
+        return int(c[0]), Kc
+
+    cameras = dict(_parse_camera(c) for c in cam_rows)
+    K = cameras[min(cameras)]
+
+    names, qs, ts, ids, img_cam = [], [], [], [], []
     with open(os.path.join(model_dir, "images.txt")) as fh:
         rows = [l.rstrip("\n") for l in fh if not l.startswith("#")]
     for i in range(0, len(rows) - 1, 2):
@@ -194,11 +220,13 @@ def read_colmap_text(model_dir: str):
         ids.append(int(f[0]))
         qs.append([float(v) for v in f[1:5]])
         ts.append([float(v) for v in f[5:8]])
+        img_cam.append(int(f[8]))
         names.append(f[9])
     order = np.argsort(ids)
     q = np.asarray(qs, np.float64)[order]
     t = np.asarray(ts, np.float64)[order]
     names = [names[i] for i in order]
+    Ks = np.stack([cameras[img_cam[i]] for i in order]) if len(order) else np.zeros((0, 3, 3))
     R_w2c = np.asarray(quat_to_rotation(q))
     rots = np.swapaxes(R_w2c, -1, -2)  # cam-to-world
     locs = -np.einsum("vij,vj->vi", rots, t)
@@ -220,6 +248,7 @@ def read_colmap_text(model_dir: str):
         "locs": locs,
         "rots": rots,
         "K": K,
+        "Ks": Ks,
         "names": names,
         "points": np.asarray(pts, np.float64).reshape(-1, 3),
         "point_ids": np.asarray(pids, np.int64),

@@ -97,9 +97,14 @@ class BatchedIncrementalSfM:
         self.config = config
         self.batch = batch
         self.frontend = frontend
+        # K: (3,3) shared, (B,3,3) per-lane, or (B,V,3,3) per-lane-per-view
+        # (the state schema stores per-view intrinsics)
         K = np.asarray(K)
+        V = config.capacity.max_views
         if K.ndim == 2:
-            K = np.broadcast_to(K, (batch, 3, 3))
+            K = np.broadcast_to(K, (batch, V, 3, 3))
+        elif K.ndim == 3:
+            K = np.broadcast_to(K[:, None], (batch, V, 3, 3))
         single = tracks.init_state(
             config.capacity, np.zeros((3, 3)), desc_dim=config.frontend.descriptor_dim
         )

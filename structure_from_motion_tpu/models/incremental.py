@@ -61,6 +61,7 @@ from structure_from_motion_tpu.ops.triangulation import (
 from structure_from_motion_tpu.utils.geometry import (
     camera_projection,
     normalized_camera_coords,
+    normalized_camera_coords_per_obs,
 )
 from structure_from_motion_tpu.utils.rotations import (
     quat_to_rotation,
@@ -154,12 +155,13 @@ def _bootstrap_once(state: SfMState, key: Array, config: PipelineConfig) -> tupl
     ref_keys, que_keys, ref_xy, que_xy, valid = tracks.matched_pair_arrays(state, 0, 1)
 
     F = find_fundamental(key, ref_xy, que_xy, valid, config.fundamental_ransac)
-    E = essential_from_fundamental(F.F, state.K, state.K)
+    K0, K1 = state.K[0], state.K[1]  # per-view intrinsics (may differ)
+    E = essential_from_fundamental(F.F, K0, K1)
     cands = decompose_essential(E)
 
     R0 = quat_to_rotation(state.cam_q[0])
-    P_ref = camera_projection(state.K, R0, state.cam_C[0])
-    P_cands = candidate_projections(state.K, cands)
+    P_ref = camera_projection(K0, R0, state.cam_C[0])
+    P_cands = candidate_projections(K1, cands)
 
     uv = jnp.stack([ref_xy, que_xy], axis=1)  # (K, 2 views, 2)
     obs_mask = jnp.stack([valid, valid], axis=1)
@@ -172,15 +174,15 @@ def _bootstrap_once(state: SfMState, key: Array, config: PipelineConfig) -> tupl
     # essential-manifold refinement of the winning (R, t): the 8-point
     # F -> E chain leaves ~10 deg of translation-direction error on real
     # pairs; Gauss-Newton on the Sampson error closes it (ops/campose.py)
-    x1n = normalized_camera_coords(state.K, ref_xy)
-    x2n = normalized_camera_coords(state.K, que_xy)
+    x1n = normalized_camera_coords(K0, ref_xy)
+    x2n = normalized_camera_coords(K1, que_xy)
     R1, t1, C1 = refine_relative_pose(
         cands.R[best], cands.t[best], x1n, x2n,
         jnp.logical_and(valid, F.inliers),
     )
     state = tracks.set_camera(state, 1, C1, rotation_to_quat(R1))
 
-    P1 = camera_projection(state.K, R1, C1)
+    P1 = camera_projection(K1, R1, C1)
     # re-triangulate with the refined pose
     X2 = linear_triangulate(jnp.stack([P_ref, P1]), uv, obs_mask)
     refine_mask = jnp.stack([cheir_ok, cheir_ok], axis=1)
@@ -266,7 +268,7 @@ def _localize_stage(
     # inside estimate_pnp — rescues frames where contamination drops the
     # RANSAC inlier ratio below what 6-point sampling can survive
     pnp = estimate_pnp(
-        key, X3d, uv_v_all, state.K, flat_mask, config.pnp_ransac, config.pnp_lm,
+        key, X3d, uv_v_all, state.K[v], flat_mask, config.pnp_ransac, config.pnp_lm,
         prior_R=quat_to_rotation(state.cam_q[v - 1]),
         prior_C=state.cam_C[v - 1],
     )
@@ -297,7 +299,7 @@ def _localize_stage(
     # ALL (u, v) candidate pairs go through ONE flat triangulation call with
     # per-candidate projection pairs — a sequential per-view loop of LM
     # scans is pure latency on TPU.
-    P_v = camera_projection(state.K, pnp.R, pnp.C)
+    P_v = camera_projection(state.K[v], pnp.R, pnp.C)
     n_before = state.num_points
     state = _triangulate_new_flat(state, v, P_v, flat_tgt, valid_m, config)
 
@@ -349,9 +351,7 @@ def _triangulate_new_flat(
 
     # per-candidate projection pair (u's camera, current camera)
     R_all = quat_to_rotation(state.cam_q)  # (V, 3, 3)
-    P_all = jax.vmap(lambda R, C: camera_projection(state.K, R, C))(
-        R_all, state.cam_C
-    )  # (V, 3, 4)
+    P_all = jax.vmap(camera_projection)(state.K, R_all, state.cam_C)  # (V, 3, 4)
     P_pair = jnp.stack(
         [P_all[u_idx], jnp.broadcast_to(P_v, (N, 3, 4))], axis=1
     )  # (N, 2, 3, 4)
@@ -411,7 +411,9 @@ def _ba_stage(state: SfMState, config: PipelineConfig) -> tuple[SfMState, Array,
     obs = BAObservations(
         cam=state.obs_cam,
         point=state.obs_pt,
-        uv_norm=normalized_camera_coords(state.K, state.obs_uv),
+        uv_norm=normalized_camera_coords_per_obs(
+            state.K[state.obs_cam], state.obs_uv
+        ),
         valid=state.obs_valid,
     )
     dropped = jnp.asarray(0, jnp.int32)
@@ -460,7 +462,9 @@ def _ba_stage(state: SfMState, config: PipelineConfig) -> tuple[SfMState, Array,
                 ob = BAObservations(
                     cam=st.obs_cam[:o],
                     point=st.obs_pt[:o],
-                    uv_norm=normalized_camera_coords(st.K, st.obs_uv[:o]),
+                    uv_norm=normalized_camera_coords_per_obs(
+                        st.K[st.obs_cam[:o]], st.obs_uv[:o]
+                    ),
                     valid=st.obs_valid[:o],
                 )
                 res, costs = run_bundle_adjustment(bs, ob, config.ba)
@@ -500,7 +504,7 @@ def pipeline_reprojection_error(state: SfMState) -> Array:
     from structure_from_motion_tpu.ops.reproj import pixel_residuals
 
     res, _ = pixel_residuals(
-        state.K,
+        state.K[state.obs_cam],
         state.cam_C[state.obs_cam],
         state.cam_q[state.obs_cam],
         state.points[state.obs_pt],
@@ -512,6 +516,7 @@ def pipeline_reprojection_error(state: SfMState) -> Array:
 
 
 _set_feats_jit = jax.jit(tracks.set_view_features)
+_set_K_jit = jax.jit(tracks.set_view_K)
 _reproj_jit = jax.jit(pipeline_reprojection_error)
 _evict_jit = jax.jit(tracks.evict_oldest_view)
 
@@ -551,7 +556,7 @@ def _frame_step(
         # the reference has no distortion handling anywhere)
         from structure_from_motion_tpu.ops.distortion import undistort_pixels
 
-        xy = undistort_pixels(xy, state.K, config.distortion)
+        xy = undistort_pixels(xy, state.K[v], config.distortion)
     state = tracks.set_view_features(state, v, xy, desc, valid)
     k_match, k_stage = jax.random.split(key)
     state = _match_stage(state, v, k_match, config=config)
@@ -742,13 +747,17 @@ class IncrementalSfM:
         self._archive.append((ev_C, ev_q))
         return self._window - 1
 
-    def process_image(self, img) -> dict:
+    def process_image(self, img, K=None) -> dict:
         """One frame from a raw image: a SINGLE device dispatch (frontend +
         matching + geometry + BA fused into one jitted program). With
         ``config.keyframe_min_flow_px`` set, low-parallax frames are
         rejected first (one fused detect+assess dispatch + a scalar fetch);
         admitted frames reuse the detected features, so detection never
-        runs twice."""
+        runs twice.
+
+        ``K``: optional per-frame (3, 3) intrinsics (the reference's
+        ``BaProcessor.process(img, k)`` k argument) — zoom/varifocal input;
+        omit for the shared K given at construction."""
         if self.frontend != "native":
             raise RuntimeError("process_image requires the native frontend")
         img = jnp.asarray(img)
@@ -765,11 +774,13 @@ class IncrementalSfM:
             flow = self._keyframe_flow(assess)
             if flow < self.config.keyframe_min_flow_px:
                 return self._skip_info(flow)
-            return self._process_feature_arrays(xy, desc, valid, flow_px=flow)
+            return self._process_feature_arrays(xy, desc, valid, flow_px=flow, K=K)
         v = self._frame
         slot = self._begin_frame(v)
         if slot is None:
             return {"skipped": True, "frame": v}
+        if K is not None:
+            self.state = _set_K_jit(self.state, jnp.asarray(slot), jnp.asarray(K))
         self.state, info = self._jit_frame_step_native(
             self.state,
             jnp.asarray(slot),
@@ -778,7 +789,7 @@ class IncrementalSfM:
         )
         return self._finish_frame(v, info)
 
-    def process_features(self, xy, desc, valid) -> dict:
+    def process_features(self, xy, desc, valid, K=None) -> dict:
         dtype = self.state.kp_xy.dtype
         xy = jnp.asarray(xy, dtype)
         desc = jnp.asarray(desc, dtype)
@@ -790,14 +801,16 @@ class IncrementalSfM:
         )
         if flow is not None and flow < self.config.keyframe_min_flow_px:
             return self._skip_info(flow)
-        return self._process_feature_arrays(xy, desc, valid, flow_px=flow)
+        return self._process_feature_arrays(xy, desc, valid, flow_px=flow, K=K)
 
-    def _process_feature_arrays(self, xy, desc, valid, flow_px=None) -> dict:
+    def _process_feature_arrays(self, xy, desc, valid, flow_px=None, K=None) -> dict:
         """Admit a frame whose features are already device arrays."""
         v = self._frame
         slot = self._begin_frame(v)
         if slot is None:
             return {"skipped": True, "frame": v}
+        if K is not None:
+            self.state = _set_K_jit(self.state, jnp.asarray(slot), jnp.asarray(K))
         self.state, info = self._jit_frame_step(
             self.state,
             jnp.asarray(slot),

@@ -62,8 +62,14 @@ class SfMState(NamedTuple):
     # "converging" is actually saturation (validate_state flags it).
     dropped_points: Array  # () int32
     dropped_obs: Array  # () int32
-    # intrinsics (shared across views, like the reference's single K)
-    K: Array  # (3, 3)
+    # PER-VIEW intrinsics, row v = K of the view in slot v. The reference's
+    # View struct stores its own k per image (view_processor.py:14-98 and
+    # BaProcessor.process(img, k) takes k per frame) even though its own
+    # pipeline always passes one constant K; here heterogeneous intrinsics
+    # (zoom/varifocal video, mixed rigs) are first-class: a single (3, 3) K
+    # is broadcast at init, and per-frame Ks flow through every projection,
+    # normalisation, and BA residual via per-view / per-observation gathers.
+    K: Array  # (V, 3, 3)
 
 
 def init_state(cap: CapacityConfig, K: Array, desc_dim: int = 128, dtype=jnp.float32) -> SfMState:
@@ -87,7 +93,7 @@ def init_state(cap: CapacityConfig, K: Array, desc_dim: int = 128, dtype=jnp.flo
         num_obs=jnp.asarray(0, jnp.int32),
         dropped_points=jnp.asarray(0, jnp.int32),
         dropped_obs=jnp.asarray(0, jnp.int32),
-        K=jnp.asarray(K, dtype),
+        K=jnp.broadcast_to(jnp.asarray(K, dtype), (V, 3, 3)),
     )
 
 
@@ -120,6 +126,14 @@ def record_matches(
     inv_row = jnp.full((Kk,), -1, jnp.int32).at[safe_tgt].set(ks, mode="drop")
     table = table.at[v, u].set(inv_row)
     return state._replace(match_table=table)
+
+
+def set_view_K(state: SfMState, v: Array, K: Array) -> SfMState:
+    """Set slot ``v``'s intrinsics (per-frame K, the analogue of the
+    reference's ``BaProcessor.process(img, k)`` k argument)."""
+    return state._replace(
+        K=state.K.at[v].set(jnp.asarray(K, state.K.dtype))
+    )
 
 
 def set_camera(state: SfMState, v: Array, C: Array, q: Array) -> SfMState:
@@ -312,6 +326,10 @@ def evict_oldest_view(state: SfMState):
     )
     cam_valid = shift0(state.cam_valid, False)
     tri_index = shift0(state.tri_index, -1)
+    # intrinsics rows shift with their views; the vacated last slot
+    # inherits the newest K (correct for shared-K runs, and overwritten by
+    # set_view_K when the next frame supplies its own K)
+    K_rows = jnp.concatenate([state.K[1:], state.K[-1:]], axis=0)
 
     mt = state.match_table[1:, 1:, :]  # drop row+col 0
     match_table = jnp.full_like(state.match_table, -1)
@@ -339,6 +357,7 @@ def evict_oldest_view(state: SfMState):
         pt_valid=pt_valid,
         obs_cam=obs_cam,
         obs_valid=keep_obs,
+        K=K_rows,
     )
     return compact_state(state), ev_C, ev_q
 
@@ -355,7 +374,7 @@ def prune_observations(state: SfMState, max_err_px: float):
     from structure_from_motion_tpu.ops.reproj import pixel_residuals
 
     res, depth = pixel_residuals(
-        state.K,
+        state.K[state.obs_cam],
         state.cam_C[state.obs_cam],
         state.cam_q[state.obs_cam],
         state.points[state.obs_pt],

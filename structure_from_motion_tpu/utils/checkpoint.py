@@ -72,6 +72,11 @@ def load_state(path: str) -> tuple[SfMState, int, list, tuple]:
             )
             for f in SfMState._fields
         }
+        if fields["K"].ndim == 2:
+            # pre-per-view-intrinsics checkpoint: one shared (3, 3) K;
+            # broadcast to the (V, 3, 3) schema
+            V = fields["kp_xy"].shape[0]
+            fields["K"] = jnp.broadcast_to(fields["K"], (V, 3, 3))
         archive = []
         if "__archive_C" in data:
             aC = jnp.asarray(data["__archive_C"])

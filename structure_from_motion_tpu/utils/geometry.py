@@ -93,3 +93,16 @@ def normalized_camera_coords(K: Array, uv: Array) -> Array:
     x = (uv[..., 0] - cx[..., None]) / fx[..., None]
     y = (uv[..., 1] - cy[..., None]) / fy[..., None]
     return jnp.stack([x, y], axis=-1)
+
+
+def normalized_camera_coords_per_obs(K: Array, uv: Array) -> Array:
+    """Per-observation ``K^-1``: ``K`` (..., 3, 3) and ``uv`` (..., 2) share
+    leading axes element-wise (one K per pixel — the per-view-intrinsics
+    gather ``state.K[state.obs_cam]``), unlike
+    :func:`normalized_camera_coords` where one K serves a trailing point
+    axis."""
+    fx, fy = K[..., 0, 0], K[..., 1, 1]
+    cx, cy = K[..., 0, 2], K[..., 1, 2]
+    return jnp.stack(
+        [(uv[..., 0] - cx) / fx, (uv[..., 1] - cy) / fy], axis=-1
+    )

@@ -45,7 +45,7 @@ def reprojection_stats(state) -> dict:
     from structure_from_motion_tpu.ops.reproj import pixel_residuals
 
     res, _ = pixel_residuals(
-        state.K,
+        state.K[state.obs_cam],
         state.cam_C[state.obs_cam],
         state.cam_q[state.obs_cam],
         state.points[state.obs_pt],
