@@ -292,6 +292,13 @@ class PipelineConfig:
     # extra compile per bucket. Disabled automatically under vmap
     # (BatchedIncrementalSfM), where lax.switch executes every branch.
     ba_bucketing: bool = True
+    # Same idea for the localization stage: the PnP 2D-3D candidate set and
+    # the new-match triangulation candidate set live in (V*K)-sized flat
+    # slabs but typically hold a few hundred live entries. With this on,
+    # live candidates are packed to the front (one top_k) and the PnP
+    # solve / triangulation LM run on the smallest power-of-2 bucket that
+    # holds them (lax.switch). Disabled automatically under vmap.
+    localize_bucketing: bool = True
 
     # -- (de)serialisation -------------------------------------------------
     def to_json(self) -> str:

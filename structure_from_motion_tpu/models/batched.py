@@ -89,11 +89,13 @@ class BatchedIncrementalSfM:
                 "admit different frames and fall out of lockstep); use the "
                 "single-sequence IncrementalSfM for keyframed video"
             )
-        if config.ba_bucketing:
+        if config.ba_bucketing or config.localize_bucketing:
             # under vmap a lax.switch lowers to "execute every branch and
             # select", so the adaptive buckets would COST instead of save;
             # run the batch at full capacity
-            config = dataclasses.replace(config, ba_bucketing=False)
+            config = dataclasses.replace(
+                config, ba_bucketing=False, localize_bucketing=False
+            )
         self.config = config
         self.batch = batch
         self.frontend = frontend

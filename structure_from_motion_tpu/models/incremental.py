@@ -51,7 +51,7 @@ from structure_from_motion_tpu.ops.epipolar import (
 )
 from structure_from_motion_tpu.ops.features import detect_and_describe
 from structure_from_motion_tpu.ops.matching import match_descriptors
-from structure_from_motion_tpu.ops.pnp import estimate_pnp
+from structure_from_motion_tpu.ops.pnp import PnPResult, estimate_pnp
 from structure_from_motion_tpu.ops.triangulation import (
     linear_triangulate,
     refine_triangulate,
@@ -234,6 +234,33 @@ def _bootstrap_once(state: SfMState, key: Array, config: PipelineConfig) -> tupl
     return state, info
 
 
+def _bucket_ladder(n: int, floor: int, max_levels: int = 3) -> list:
+    """Static halving ladder [n, n/2, ...] for capacity-adaptive bucketing
+    (stops at odd sizes or the floor)."""
+    ladder = [n]
+    while len(ladder) < max_levels and ladder[-1] % 2 == 0 and ladder[-1] // 2 >= floor:
+        ladder.append(ladder[-1] // 2)
+    return ladder
+
+
+def _bucket_index(count: Array, ladder: list) -> Array:
+    """Branch index = number of halved levels that still hold ``count``
+    (fits are monotone along the ladder)."""
+    idx = jnp.asarray(0, jnp.int32)
+    for n in ladder[1:]:
+        idx = idx + (count <= n).astype(jnp.int32)
+    return idx
+
+
+def _pack_indices(mask: Array, n: int) -> Array:
+    """Indices of the valid entries of ``mask``, packed first and in
+    original order, padded with (masked-out) leftovers to length ``n``."""
+    N = mask.shape[0]
+    score = jnp.where(mask, (N - jnp.arange(N)).astype(jnp.float32), 0.0)
+    _, sel = jax.lax.top_k(score, n)
+    return sel
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def _localize_stage(
     state: SfMState, v: Array, key: Array, config: PipelineConfig
@@ -267,11 +294,42 @@ def _localize_stage(
     # motion prior: the previous frame's pose seeds a robust-LM candidate
     # inside estimate_pnp — rescues frames where contamination drops the
     # RANSAC inlier ratio below what 6-point sampling can survive
-    pnp = estimate_pnp(
-        key, X3d, uv_v_all, state.K[v], flat_mask, config.pnp_ransac, config.pnp_lm,
-        prior_R=quat_to_rotation(state.cam_q[v - 1]),
-        prior_C=state.cam_C[v - 1],
-    )
+    prior_R = quat_to_rotation(state.cam_q[v - 1])
+    prior_C = state.cam_C[v - 1]
+    N = flat_pt.shape[0]
+    ladder = _bucket_ladder(N, floor=2048) if config.localize_bucketing else [N]
+    if len(ladder) > 1:
+        # capacity-adaptive bucketing: the live 2D-3D candidates (typically
+        # a few hundred) pack to the front of the smallest bucket that
+        # holds them, and the whole PnP solve (RANSAC scoring + the
+        # sequential LM crawls) runs at that size instead of V*K
+        def _mk_pnp(n: int):
+            def branch(k: Array) -> PnPResult:
+                sel = _pack_indices(flat_mask, n)
+                sub = estimate_pnp(
+                    k, X3d[sel], uv_v_all[sel], state.K[v], flat_mask[sel],
+                    config.pnp_ransac, config.pnp_lm,
+                    prior_R=prior_R, prior_C=prior_C,
+                )
+                inl = jnp.zeros((N,), bool).at[sel].set(sub.inliers)
+                return PnPResult(
+                    R=sub.R, C=sub.C, inliers=inl,
+                    num_inliers=sub.num_inliers,
+                )
+
+            return branch
+
+        pnp = jax.lax.switch(
+            _bucket_index(jnp.sum(flat_mask), ladder),
+            [_mk_pnp(n) for n in ladder],
+            key,
+        )
+    else:
+        pnp = estimate_pnp(
+            key, X3d, uv_v_all, state.K[v], flat_mask,
+            config.pnp_ransac, config.pnp_lm,
+            prior_R=prior_R, prior_C=prior_C,
+        )
     state = tracks.set_camera(state, v, pnp.C, rotation_to_quat(pnp.R))
 
     # record the current view's observations of the points it localized
@@ -352,40 +410,70 @@ def _triangulate_new_flat(
     # per-candidate projection pair (u's camera, current camera)
     R_all = quat_to_rotation(state.cam_q)  # (V, 3, 3)
     P_all = jax.vmap(camera_projection)(state.K, R_all, state.cam_C)  # (V, 3, 4)
-    P_pair = jnp.stack(
-        [P_all[u_idx], jnp.broadcast_to(P_v, (N, 3, 4))], axis=1
-    )  # (N, 2, 3, 4)
-    ref_xy = state.kp_xy.reshape(N, 2)
-    que_xy = state.kp_xy[v][flat_tgt]
-    uv = jnp.stack([ref_xy, que_xy], axis=1)  # (N, 2, 2)
-    obs_mask = jnp.stack([cand, cand], axis=1)
-    Xh = triangulate(P_pair, uv, obs_mask, config.triangulation_lm)
+    ref_xy_full = state.kp_xy.reshape(N, 2)
+    que_xy_full = state.kp_xy[v][flat_tgt]
 
-    # gate 1: cheirality in both views
-    d_u = jnp.einsum("nj,nj->n", P_pair[:, 0, 2, :], Xh)
-    d_v = jnp.einsum("nj,nj->n", P_pair[:, 1, 2, :], Xh)
-    cheir = (d_u > 0) & (d_v > 0)
-    # gate 2: reprojection error
-    res, _ = reprojection_residuals(P_pair, Xh[:, :3], uv, obs_mask)
-    err = jnp.linalg.norm(res, axis=-1)  # (N, 2)
-    small = jnp.max(err, axis=1) < config.triangulation_max_error_px
-    # gate 3: parallax angle
-    r_u = Xh[:, :3] - state.cam_C[u_idx]
-    r_v = Xh[:, :3] - state.cam_C[v]
-    cosang = jnp.sum(r_u * r_v, axis=1) / jnp.maximum(
-        jnp.linalg.norm(r_u, axis=1) * jnp.linalg.norm(r_v, axis=1), 1e-12
-    )
-    enough_parallax = cosang < jnp.cos(jnp.deg2rad(config.min_parallax_deg))
-    keep = cand & cheir & small & enough_parallax
+    def _admit(st: SfMState, sel: Array, n: int) -> SfMState:
+        """Triangulate + gate + register the candidates at ``sel`` (the
+        whole admission path runs at size n: every downstream op is a
+        masked gather/scatter, so no write-back to the flat slab is
+        needed)."""
+        u_s = u_idx[sel]
+        cand_s = cand[sel]
+        tgt_s = flat_tgt[sel]
+        P_pair = jnp.stack(
+            [P_all[u_s], jnp.broadcast_to(P_v, (n, 3, 4))], axis=1
+        )  # (n, 2, 3, 4)
+        ref_xy = ref_xy_full[sel]
+        que_xy = que_xy_full[sel]
+        uv = jnp.stack([ref_xy, que_xy], axis=1)  # (n, 2, 2)
+        obs_mask = jnp.stack([cand_s, cand_s], axis=1)
+        Xh = triangulate(P_pair, uv, obs_mask, config.triangulation_lm)
 
-    # gate all recording on `stored` (= keep minus capacity overflow; an
-    # id >= M in tri_index or the obs store would gather-clamp onto point
-    # M-1 inside BA)
-    state, ids, stored = tracks.allocate_points(state, Xh[:, :3], keep)
-    state = tracks.set_tri_index_flat(state, u_idx, ref_keys, ids, stored)
-    state = tracks.set_tri_index(state, v, flat_tgt, ids, stored)
-    state = tracks.append_observations(state, u_idx, ids, ref_xy, stored)
-    state = tracks.append_observations(state, jnp.full_like(ids, 0) + v, ids, que_xy, stored)
+        # gate 1: cheirality in both views
+        d_u = jnp.einsum("nj,nj->n", P_pair[:, 0, 2, :], Xh)
+        d_v = jnp.einsum("nj,nj->n", P_pair[:, 1, 2, :], Xh)
+        cheir = (d_u > 0) & (d_v > 0)
+        # gate 2: reprojection error
+        res, _ = reprojection_residuals(P_pair, Xh[:, :3], uv, obs_mask)
+        err = jnp.linalg.norm(res, axis=-1)  # (n, 2)
+        small = jnp.max(err, axis=1) < config.triangulation_max_error_px
+        # gate 3: parallax angle
+        r_u = Xh[:, :3] - st.cam_C[u_s]
+        r_v = Xh[:, :3] - st.cam_C[v]
+        cosang = jnp.sum(r_u * r_v, axis=1) / jnp.maximum(
+            jnp.linalg.norm(r_u, axis=1) * jnp.linalg.norm(r_v, axis=1), 1e-12
+        )
+        enough_parallax = cosang < jnp.cos(jnp.deg2rad(config.min_parallax_deg))
+        keep = cand_s & cheir & small & enough_parallax
+
+        # gate all recording on `stored` (= keep minus capacity overflow; an
+        # id >= M in tri_index or the obs store would gather-clamp onto point
+        # M-1 inside BA)
+        st, ids, stored = tracks.allocate_points(st, Xh[:, :3], keep)
+        st = tracks.set_tri_index_flat(st, u_s, ref_keys[sel], ids, stored)
+        st = tracks.set_tri_index(st, v, tgt_s, ids, stored)
+        st = tracks.append_observations(st, u_s, ids, ref_xy, stored)
+        st = tracks.append_observations(st, jnp.full_like(ids, 0) + v, ids, que_xy, stored)
+        return st
+
+    ladder = _bucket_ladder(N, floor=2048) if config.localize_bucketing else [N]
+    if len(ladder) > 1:
+        # capacity-adaptive bucketing (see _localize_stage): the LM scan in
+        # triangulate() and the gates run at the smallest bucket holding
+        # the live candidates instead of the full V*K slab
+        state = jax.lax.switch(
+            _bucket_index(jnp.sum(cand), ladder),
+            [
+                functools.partial(
+                    lambda st, n: _admit(st, _pack_indices(cand, n), n), n=n
+                )
+                for n in ladder
+            ],
+            state,
+        )
+    else:
+        state = _admit(state, jnp.arange(N, dtype=jnp.int32), N)
     return state
 
 
