@@ -89,6 +89,10 @@ def cmd_reconstruct(args) -> int:
     K = np.array(
         [[args.fx, 0.0, args.cx], [0.0, args.fy, args.cy], [0.0, 0.0, 1.0]]
     )
+    if args.compile_cache:
+        from structure_from_motion_tpu.serve import enable_compilation_cache
+
+        enable_compilation_cache(args.compile_cache)
     cfg = _build_config(args)
     if cfg.window_mode != "slide":
         files = files[: args.max_views]
@@ -345,6 +349,12 @@ def main(argv=None) -> int:
         "--export-ply", action="store_true",
         help="also write the sparse map + camera centers as "
              "<out>/reconstruction.ply (MeshLab/CloudCompare/Open3D)",
+    )
+    r.add_argument(
+        "--compile-cache", metavar="DIR", default=None,
+        help="persistent XLA compilation cache directory (serve."
+             "enable_compilation_cache): the cold-start compile of the "
+             "fused frame program becomes a disk hit on the next run",
     )
     r.set_defaults(fn=cmd_reconstruct)
 
