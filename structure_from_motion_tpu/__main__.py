@@ -114,12 +114,14 @@ def cmd_reconstruct(args) -> int:
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
 
-    def feed(path):
+    def feed(path, img=None):
         """One frame, optionally through the on-disk feature cache (the
         reference's pickled keypoint cache concept, view_processor.py:81-98:
         re-runs skip detection entirely)."""
         if not cache_dir:
-            return engine.process_image(load_image_grayscale(path))
+            return engine.process_image(
+                img if img is not None else load_image_grayscale(path)
+            )
         from structure_from_motion_tpu.utils import checkpoint as ckpt
 
         # the cache key must cover every config knob that changes the
@@ -154,9 +156,18 @@ def cmd_reconstruct(args) -> int:
         for j in engine.keyframe_indices
         if j < len(files)
     ]
-    for i, path in enumerate(files[start:], start=start):
+    if cache_dir:
+        frame_iter = ((p, None) for p in files[start:])
+    else:
+        # decode + device upload of the NEXT frame overlaps the current
+        # frame's device program (io/prefetch.py) — ingest vanishes from
+        # steady-state frame time whenever compute >= transfer
+        from structure_from_motion_tpu.io.prefetch import DevicePrefetcher
+
+        frame_iter = iter(DevicePrefetcher(files[start:], load_image_grayscale))
+    for i, (path, img) in enumerate(frame_iter, start=start):
         t1 = time.time()
-        info = feed(path)
+        info = feed(path, img)
         if info.get("keyframe_skipped"):
             print(
                 f"{os.path.basename(path)}: skipped (median flow "

@@ -383,3 +383,27 @@ def test_ply_export_roundtrip(tmp_path):
         # camera vertices are the red ones
         is_cam = rgb[:, 0] > rgb[:, 1]
         assert is_cam.sum() == len(cams) and is_cam[len(pts):].all()
+
+
+def test_device_prefetcher_matches_sequential(reference_dataset_path):
+    """DevicePrefetcher yields (path, device frame) in order, equal to the
+    sequential loads; an unreadable path raises at its position."""
+    import os
+
+    import pytest
+
+    from structure_from_motion_tpu.io import load_image_grayscale
+    from structure_from_motion_tpu.io.prefetch import DevicePrefetcher
+
+    d = os.path.join(reference_dataset_path, "upenn")
+    paths = [os.path.join(d, f"image{i:07d}.bmp") for i in range(1, 4)]
+    out = list(DevicePrefetcher(paths, load_image_grayscale, depth=2))
+    assert [p for p, _ in out] == paths
+    for p, buf in out:
+        np.testing.assert_array_equal(np.asarray(buf), load_image_grayscale(p))
+
+    bad = paths[:1] + [os.path.join(d, "missing.bmp")] + paths[2:]
+    it = iter(DevicePrefetcher(bad, load_image_grayscale, depth=2))
+    assert next(it)[0] == paths[0]
+    with pytest.raises(Exception):
+        next(it)
