@@ -241,9 +241,11 @@ def bench_pipeline():
 
     # ---- batched throughput ---------------------------------------------
     # B sequences advance in lockstep via vmap. Measured reality (see
-    # README): a single sequence already ~60% saturates the chip at these
-    # shapes, so the aggregate gain is ~1.5x, NOT Bx — reported as its own
-    # labeled number, never as the headline.
+    # README): a single sequence already saturates the chip, and the
+    # capacity-adaptive buckets cannot vmap (lax.switch under vmap runs
+    # every branch), so lanes run at full capacity and the B=8 aggregate
+    # lands BELOW the bucketed single-sequence number (~0.7x) — reported
+    # as its own labeled number, never as the headline.
     B = 8
     frame_batches = [np.stack([im] * B) for im in imgs]
     warm_b = BatchedIncrementalSfM(cfg, K, batch=B, frontend="native")

@@ -244,13 +244,29 @@ def cmd_reconstruct(args) -> int:
         print(f"PLY point cloud -> {ply_path} ({n_verts} vertices)")
 
     if args.plot:
+        from structure_from_motion_tpu.models import tracks as _tracks
         from structure_from_motion_tpu.utils.visualization import (
+            plot_matches,
             plot_reconstruction_xz,
         )
 
         out_png = os.path.join(args.out, "reconstruction_xz.png")
         plot_reconstruction_xz(locs, rots, pts, out_path=out_png)
         print(f"plot -> {out_png}")
+        if len(accepted_names) >= 2 and len(files) >= 2:
+            _, _, ref_xy, que_xy, valid = _tracks.matched_pair_arrays(
+                engine.state, 0, 1
+            )
+            match_png = os.path.join(args.out, "matches_01.png")
+            plot_matches(
+                load_image_grayscale(files[0]),
+                load_image_grayscale(files[1]),
+                np.asarray(ref_xy),
+                np.asarray(que_xy),
+                mask=np.asarray(valid),
+                out_path=match_png,
+            )
+            print(f"match plot -> {match_png}")
     return 0
 
 

@@ -43,6 +43,54 @@ def plot_epipolar_lines(F, img_ref, img_que, ref_pts, que_pts, out_path=None):
     return fig
 
 
+def plot_matches(
+    img_ref, img_que, ref_pts, que_pts, mask=None, out_path=None,
+    max_draw=200,
+):
+    """Side-by-side correspondence plot: the two images concatenated with a
+    line per match (the reference's track visualisation,
+    ``key_tracker.py:455-551``, without its per-track colour table).
+    ``mask`` selects which matches to draw; at most ``max_draw`` lines are
+    drawn (uniform stride) so dense match sets stay readable. Returns the
+    matplotlib figure."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    img_ref = np.asarray(img_ref)
+    img_que = np.asarray(img_que)
+    ref_pts = np.asarray(ref_pts)
+    que_pts = np.asarray(que_pts)
+    if mask is not None:
+        keep = np.asarray(mask).astype(bool)
+        ref_pts, que_pts = ref_pts[keep], que_pts[keep]
+    if len(ref_pts) > max_draw:
+        stride = len(ref_pts) // max_draw + 1
+        ref_pts, que_pts = ref_pts[::stride], que_pts[::stride]
+
+    h = max(img_ref.shape[0], img_que.shape[0])
+    w1 = img_ref.shape[1]
+    canvas = np.zeros((h, w1 + img_que.shape[1]), np.float32)
+    canvas[: img_ref.shape[0], :w1] = img_ref
+    canvas[: img_que.shape[0], w1:] = img_que
+
+    fig, ax = plt.subplots(figsize=(14, 6))
+    ax.imshow(canvas, cmap="gray")
+    colors = plt.cm.hsv(np.linspace(0, 1, max(len(ref_pts), 2)))
+    for i, ((x1, y1), (x2, y2)) in enumerate(zip(ref_pts, que_pts)):
+        ax.plot(
+            [x1, x2 + w1], [y1, y2], "-", color=colors[i], linewidth=0.6
+        )
+        ax.plot(x1, y1, "o", color=colors[i], markersize=2)
+        ax.plot(x2 + w1, y2, "o", color=colors[i], markersize=2)
+    ax.set_axis_off()
+    ax.set_title(f"{len(ref_pts)} matches")
+    if out_path:
+        fig.savefig(out_path, dpi=110, bbox_inches="tight")
+    return fig
+
+
 def plot_reconstruction_xz(locs, rots, points=None, out_path=None, lims=(-20, 20, -20, 30)):
     """The reference's result visualisation: camera centers + map points on
     the X-Z plane (ba_processor.py:507-544 /

@@ -76,6 +76,21 @@ def test_plot_epipolar_lines_and_reconstruction(tmp_path):
     assert p2.exists() and p2.stat().st_size > 1000
     plt.close(fig)
 
+    # match visualisation (the reference's track plot analogue,
+    # key_tracker.py:455-551): masked + stride-limited drawing
+    from structure_from_motion_tpu.utils.visualization import plot_matches
+
+    p3 = tmp_path / "matches.png"
+    n = 500
+    pts1 = rng.uniform([0, 0], [63, 47], size=(n, 2))
+    pts2 = pts1 + rng.normal(size=(n, 2))
+    mask = rng.random(n) > 0.3
+    fig = plot_matches(
+        img, img, pts1, pts2, mask=mask, out_path=str(p3), max_draw=100
+    )
+    assert p3.exists() and p3.stat().st_size > 1000
+    plt.close(fig)
+
 
 def test_features_cache_roundtrip(tmp_path):
     from structure_from_motion_tpu.utils.checkpoint import (
