@@ -253,20 +253,28 @@ def cmd_reconstruct(args) -> int:
         out_png = os.path.join(args.out, "reconstruction_xz.png")
         plot_reconstruction_xz(locs, rots, pts, out_path=out_png)
         print(f"plot -> {out_png}")
-        if len(accepted_names) >= 2 and len(files) >= 2:
-            _, _, ref_xy, que_xy, valid = _tracks.matched_pair_arrays(
-                engine.state, 0, 1
-            )
-            match_png = os.path.join(args.out, "matches_01.png")
-            plot_matches(
-                load_image_grayscale(files[0]),
-                load_image_grayscale(files[1]),
-                np.asarray(ref_xy),
-                np.asarray(que_xy),
-                mask=np.asarray(valid),
-                out_path=match_png,
-            )
-            print(f"match plot -> {match_png}")
+        # state slots 0/1 are the two OLDEST LIVE views — under slide mode
+        # or keyframe skipping those are NOT files[0]/files[1]; map slots
+        # through the accepted-input bookkeeping to the right image files
+        n_live = int(np.asarray(engine.state.cam_valid).sum())
+        base = len(engine.keyframe_indices) - n_live
+        if n_live >= 2 and base >= 0:
+            i0 = engine.keyframe_indices[base]
+            i1 = engine.keyframe_indices[base + 1]
+            if i1 < len(files):
+                _, _, ref_xy, que_xy, valid = _tracks.matched_pair_arrays(
+                    engine.state, 0, 1
+                )
+                match_png = os.path.join(args.out, "matches_01.png")
+                plot_matches(
+                    load_image_grayscale(files[i0]),
+                    load_image_grayscale(files[i1]),
+                    np.asarray(ref_xy),
+                    np.asarray(que_xy),
+                    mask=np.asarray(valid),
+                    out_path=match_png,
+                )
+                print(f"match plot -> {match_png}")
     return 0
 
 

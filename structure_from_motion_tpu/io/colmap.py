@@ -81,9 +81,20 @@ def export_colmap_text(
 
     q, t = _w2c(rots, locs)
 
-    # resolve per-image intrinsics: live slots are the LAST n_live images
+    # live view count: slots 0..n_live-1 of the state hold the LAST n_live
+    # trajectory entries. cam_valid is the truth — the K/cam arrays are
+    # CAPACITY-sized, and in slide mode rows past the window hold stale
+    # constructor values, so min(F, K.shape[0]) would misassign intrinsics
+    # and observations whenever window_size < capacity.max_views
+    if state is not None:
+        n_live = int(min(F, np.asarray(state.cam_valid).sum()))
+    else:
+        n_live = int(min(F, K.shape[0])) if K.ndim == 3 else F
+
+    # resolve per-image intrinsics: live slots are the LAST n_live images;
+    # archived frames (whose per-view K is no longer held) inherit the
+    # oldest live slot's K
     if K.ndim == 3:
-        n_live = int(min(F, K.shape[0]))
         per_image_K = np.broadcast_to(K[0], (F, 3, 3)).copy()
         if n_live:
             per_image_K[F - n_live:] = K[:n_live]
@@ -114,7 +125,6 @@ def export_colmap_text(
     pt_ids: np.ndarray = np.zeros((0,), np.int64)
     pt_err: dict[int, list] = {}
     if state is not None:
-        n_live = int(np.minimum(F, state.cam_C.shape[0]))
         slot_to_image = np.arange(F - n_live, F)  # live slot -> trajectory id
         pv = np.asarray(state.pt_valid)
         pts_xyz = np.asarray(state.points, np.float64)[pv]

@@ -496,16 +496,20 @@ def _ba_stage(state: SfMState, config: PipelineConfig) -> tuple[SfMState, Array,
         cam_valid=state.cam_valid,
         pt_valid=state.pt_valid,
     )
-    obs = BAObservations(
-        cam=state.obs_cam,
-        point=state.obs_pt,
-        uv_norm=normalized_camera_coords_per_obs(
-            state.K[state.obs_cam], state.obs_uv
-        ),
-        valid=state.obs_valid,
-    )
+
+    def full_obs(st: SfMState) -> BAObservations:
+        return BAObservations(
+            cam=st.obs_cam,
+            point=st.obs_pt,
+            uv_norm=normalized_camera_coords_per_obs(
+                st.K[st.obs_cam], st.obs_uv
+            ),
+            valid=st.obs_valid,
+        )
+
     dropped = jnp.asarray(0, jnp.int32)
     if config.ba_num_shards > 1:
+        obs = full_obs(state)
         from structure_from_motion_tpu.parallel.ba_sharded import (
             deinterleave_points,
             interleave_points,
@@ -525,6 +529,7 @@ def _ba_stage(state: SfMState, config: PipelineConfig) -> tuple[SfMState, Array,
         )
         out, costs = sharded_bundle_adjustment(st_p, part, config.ba, make_mesh(S))
         out = out._replace(X=deinterleave_points(out.X, S))
+        state = state._replace(cam_C=out.C, cam_q=out.q, points=out.X)
     elif config.ba_bucketing:
         # capacity-adaptive bucketing: the stores are prefix-packed (appends
         # are contiguous and eviction/pruning compact), so BA can run on the
@@ -571,14 +576,9 @@ def _ba_stage(state: SfMState, config: PipelineConfig) -> tuple[SfMState, Array,
         state, costs = jax.lax.switch(
             idx, [make_branch(m, o) for m, o in ladder], state
         )
-        if config.prune_max_error_px > 0:
-            state, _, _ = tracks.prune_observations(
-                state, config.prune_max_error_px
-            )
-        return state, costs, dropped
     else:
-        out, costs = run_bundle_adjustment(ba_state, obs, config.ba)
-    state = state._replace(cam_C=out.C, cam_q=out.q, points=out.X)
+        out, costs = run_bundle_adjustment(ba_state, full_obs(state), config.ba)
+        state = state._replace(cam_C=out.C, cam_q=out.q, points=out.X)
     if config.prune_max_error_px > 0:
         state, _, _ = tracks.prune_observations(
             state, config.prune_max_error_px
@@ -713,6 +713,16 @@ def _assess_frame(
     res = match_descriptors(
         state.kp_desc[prev_slot], desc, state.kp_valid[prev_slot], valid, mcfg
     )
+    if any(config.distortion):
+        # the STORED keypoints were undistorted at ingest (_frame_step);
+        # comparing raw candidate coordinates against them would measure
+        # distortion magnitude (5-30 px across a frame at photographic k1),
+        # not motion — a duplicate frame would always clear the gate.
+        # prev_slot's K stands in for the candidate's (exact for shared-K
+        # runs; a flow statistic either way).
+        from structure_from_motion_tpu.ops.distortion import undistort_pixels
+
+        xy = undistort_pixels(xy, state.K[prev_slot], config.distortion)
     disp = jnp.linalg.norm(
         xy[jnp.maximum(res.target, 0)] - state.kp_xy[prev_slot], axis=-1
     )
@@ -795,6 +805,9 @@ class IncrementalSfM:
         self._jit_assess_native = functools.partial(_assess_frame_native, config=cfg)
         self._jit_detect = functools.partial(detect_and_describe, cfg=cfg.frontend)
         self._jit_reproj = _reproj_jit
+        # instance-level so a served engine (serve.ServedSfM) can swap in
+        # its exported program without re-implementing the window policy
+        self._jit_evict = _evict_jit
         self._window = min(config.capacity.max_views, config.window_size)
         # archived (evicted) poses in sliding-window mode: a host list of
         # unsynced device arrays — no round trip until poses() is called
@@ -831,7 +844,7 @@ class IncrementalSfM:
             return v
         if self.config.window_mode != "slide":
             return None
-        self.state, ev_C, ev_q = _evict_jit(self.state)
+        self.state, ev_C, ev_q = self._jit_evict(self.state)
         self._archive.append((ev_C, ev_q))
         return self._window - 1
 

@@ -154,13 +154,16 @@ def export_engine(engine, path: str, programs=None) -> dict:
             if native:
                 programs.append("assess_native")
 
+    if not programs:
+        raise ValueError("programs must name at least one program to export")
     examples = _example_args(engine)
-    blobs, sizes = {}, {}
+    blobs, sizes, platforms = {}, {}, None
     for name in programs:
         exp = jexport.export(jax.jit(fns[name]))(*examples[name])
         blob = exp.serialize()
         blobs[name] = np.frombuffer(blob, np.uint8)
         sizes[name] = len(blob)
+        platforms = list(exp.platforms)
 
     meta = {
         "format_version": _FORMAT_VERSION,
@@ -168,7 +171,7 @@ def export_engine(engine, path: str, programs=None) -> dict:
         "frontend": engine.frontend,
         "image_shape": list(engine.image_shape),
         "programs": sorted(blobs),
-        "platforms": list(exp.platforms),
+        "platforms": platforms,
     }
     buf = io.BytesIO()
     np.savez_compressed(
@@ -224,24 +227,13 @@ class ServedSfM:
         e = self._exports
         inner._jit_frame_step = e["frame_step"].call
         inner._jit_reproj = e["reproj"].call
+        inner._jit_evict = e["evict"].call
         if "frame_step_native" in e:
             inner._jit_frame_step_native = e["frame_step_native"].call
         if "assess" in e:
             inner._jit_assess = e["assess"].call
         if "assess_native" in e:
             inner._jit_assess_native = e["assess_native"].call
-        evict = e["evict"].call
-
-        def begin_frame(v, _orig=inner._begin_frame):
-            if v < inner._window:
-                return v
-            if inner.config.window_mode != "slide":
-                return None
-            inner.state, ev_C, ev_q = evict(inner.state)
-            inner._archive.append((ev_C, ev_q))
-            return inner._window - 1
-
-        inner._begin_frame = begin_frame
         self._finalize_call = e["finalize"].call
         self._inner = inner
 

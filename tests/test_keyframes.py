@@ -100,6 +100,36 @@ def test_scene_cut_is_admitted():
     assert info["flow_px"] == np.inf or info["flow_px"] >= 3.0
 
 
+def test_duplicates_skipped_under_distortion():
+    """With config.distortion set, stored keypoints are undistorted at
+    ingest while candidates arrive raw — the flow gate must compare like
+    with like, or a duplicate frame would measure distortion magnitude
+    (many px) instead of motion and always be admitted."""
+    import dataclasses
+
+    from structure_from_motion_tpu.ops.distortion import distort_pixels
+
+    coeffs = (-0.25, 0.06)
+    K_syn, fr, *_ = synthetic_sequence(n_views=3, n_points=300)
+    # distort the synthetic pixel measurements with the known model
+    distorted = [
+        (
+            np.asarray(distort_pixels(xy, K_syn, coeffs), np.float32),
+            d,
+            valid,
+        )
+        for xy, d, valid in fr
+    ]
+    video, is_dup = _video_with_duplicates(distorted, repeats=1)
+    cfg = dataclasses.replace(
+        _cfg(keyframe_min_flow_px=3.0), distortion=coeffs
+    )
+    engine = IncrementalSfM(cfg, K_syn, frontend="precomputed", seed=0)
+    infos = [engine.process_features(*f) for f in video]
+    skipped = [bool(i.get("keyframe_skipped")) for i in infos]
+    assert skipped == is_dup, list(zip(skipped, is_dup))
+
+
 def test_keyframe_bookkeeping_survives_checkpoint(tmp_path):
     """save_checkpoint/load_checkpoint must round-trip the accepted-input
     indices so a resumed run keeps input-file <-> view alignment."""

@@ -155,6 +155,39 @@ def test_colmap_export_heterogeneous_cameras(tmp_path):
     assert len(cams) == 4
 
 
+def test_colmap_export_heterogeneous_slide_mode(tmp_path):
+    """Slide-mode export with per-view K: live slots are the LAST live
+    images, and n_live must come from cam_valid, not the capacity-sized K
+    array (capacity rows past the window hold stale constructor K)."""
+    import dataclasses
+
+    from structure_from_motion_tpu.io.colmap import (
+        export_colmap_text,
+        read_colmap_text,
+    )
+
+    Ks, frames, C_gt, _ = varifocal_sequence(n_views=6)
+    cfg = dataclasses.replace(_cfg(), window_size=4, window_mode="slide")
+    engine = IncrementalSfM(cfg, Ks[0], frontend="precomputed", seed=0)
+    for (xy, d, valid), K in zip(frames, Ks):
+        engine.process_features(xy, d, valid, K=K)
+    locs, rots = engine.poses()
+    assert len(locs) == 6
+    out = str(tmp_path / "colmap")
+    export_colmap_text(
+        out, locs, rots, np.asarray(engine.state.K), (640, 480),
+        state=engine.state,
+    )
+    model = read_colmap_text(out)
+    # live images 2..5 carry their own K; archived 0..1 inherit the oldest
+    # live slot's K (frame 2's)
+    np.testing.assert_allclose(model["Ks"][2:], Ks[2:6], atol=1e-3)
+    np.testing.assert_allclose(model["Ks"][:2], [Ks[2], Ks[2]], atol=1e-3)
+    # observation tracks must reference only live images (ids 3..6 1-based)
+    ref_imgs = {img_id for tr in model["tracks"].values() for img_id, _ in tr}
+    assert ref_imgs and ref_imgs <= {3, 4, 5, 6}, ref_imgs
+
+
 def test_checkpoint_backcompat_shared_K(tmp_path):
     """Checkpoints written before per-view intrinsics carried one (3,3) K;
     the loader must broadcast it to the (V,3,3) schema."""
