@@ -90,7 +90,10 @@ def _example_args(engine):
     xy = jnp.zeros((cap.max_keypoints, 2), dtype)
     desc = jnp.zeros((cap.max_keypoints, cfg.frontend.descriptor_dim), dtype)
     valid = jnp.zeros((cap.max_keypoints,), bool)
-    img = jnp.zeros(engine.image_shape, jnp.float32)
+    # exported programs are shape- AND dtype-pinned: serve uint8 camera
+    # frames with engine.image_dtype = np.uint8 (4x cheaper host->device
+    # transfer; the frontend normalises on device either way)
+    img = jnp.zeros(engine.image_shape, getattr(engine, "image_dtype", jnp.float32))
     return {
         "frame_step": (st, v, key, xy, desc, valid),
         "frame_step_native": (st, v, key, img),
@@ -170,6 +173,9 @@ def export_engine(engine, path: str, programs=None) -> dict:
         "config": json.loads(cfg.to_json()),
         "frontend": engine.frontend,
         "image_shape": list(engine.image_shape),
+        "image_dtype": np.dtype(
+            getattr(engine, "image_dtype", np.float32)
+        ).name,
         "programs": sorted(blobs),
         "platforms": platforms,
     }
@@ -224,6 +230,7 @@ class ServedSfM:
             collect_metrics=False,
         )
         inner.image_shape = tuple(meta["image_shape"])
+        inner.image_dtype = np.dtype(meta.get("image_dtype", "float32"))
         e = self._exports
         inner._jit_frame_step = e["frame_step"].call
         inner._jit_reproj = e["reproj"].call
