@@ -3,15 +3,22 @@
 ``vmap`` of the whole fused frame step over a leading sequence axis: B
 reconstructions advance in lockstep with one dispatch per frame index.
 
-What batching actually buys (measured on a v5e, 2026-08-17): a SINGLE
-sequence at production shapes (1024 keypoints, full-resolution pyramid)
-already keeps the chip ~60% busy — detect at B=8 costs 5.0x B=1, the
-geometry stack 5.2x — so the aggregate throughput gain at B=8 is ~1.5x,
-NOT Bx. The honest use cases are therefore (a) amortising host round-trip
-latency over many SMALL sequences/windows, (b) multi-camera rigs wanting
-lockstep convenience, and (c) squeezing the last ~50% of device utilisation
-in offline mapping. For raw per-sequence speed, run sequences one at a
-time.
+Capacity-adaptive bucketing WORKS under batching: a per-lane ``lax.switch``
+would lower to execute-every-branch under ``vmap``, so instead the frame
+branch and the bucket levels are hoisted OUT of the vmap —
+``_batched_step_impl`` picks ONE shared bucket from the MAX live count
+across lanes (a cross-lane reduction is an unbatched scalar, so the switch
+stays a real switch) and each branch vmaps the per-lane work at that
+bucket. Lanes advance in lockstep through the same frame index, so their
+live counts track each other and the shared bucket stays tight.
+
+What batching actually buys (measured on a v5e): a SINGLE sequence at
+production shapes already keeps the chip busy — detect at B=8 costs ~5x
+B=1 — so aggregate throughput gain at B=8 is well below Bx. The honest
+use cases are (a) amortising host round-trip latency over many SMALL
+sequences/windows, (b) multi-camera rigs wanting lockstep convenience,
+and (c) squeezing the last fraction of device utilisation in offline
+mapping. For raw per-sequence speed, run sequences one at a time.
 
 Sliding-window mode (``config.window_mode="slide"``) is supported: past the
 window every lane evicts its oldest view in lockstep (one vmapped eviction
@@ -30,7 +37,6 @@ No reference analogue (the reference is strictly single-sequence,
 
 from __future__ import annotations
 
-import dataclasses
 import functools
 
 import jax
@@ -40,24 +46,172 @@ import numpy as np
 from structure_from_motion_tpu.config import PipelineConfig
 from structure_from_motion_tpu.models import tracks
 from structure_from_motion_tpu.models.incremental import (
-    _frame_step,
-    _frame_step_native,
+    _ba_bucket_index,
+    _ba_ladder,
+    _ba_stage,
+    _bootstrap_stage,
+    _bucket_index,
+    _bucket_ladder,
+    _localize_bucket_counts,
+    _localize_stage,
+    _match_stage,
+    _zero_info,
+    pipeline_reprojection_error,
 )
+from structure_from_motion_tpu.ops.features import detect_and_describe
 from structure_from_motion_tpu.utils.rotations import quat_to_rotation
+
+
+def _batched_step_impl(states, v, keys, xy, desc, valid, config):
+    """One device program for a whole batched frame.
+
+    Mirrors ``incremental._frame_step`` stage for stage, but hoists every
+    ``lax.switch`` predicate OUT of the vmap: under ``vmap`` a switch on a
+    per-lane (batched) predicate lowers to "execute every branch and
+    select", so the capacity-adaptive buckets would cost instead of save.
+    Here the frame branch (``min(v, 2)`` — the same for all lanes by
+    construction) and the bucket levels (computed from the MAX live count
+    across lanes, a cross-lane reduction = unbatched scalar) select real
+    branches, and each branch vmaps the per-lane work at ONE shared bucket.
+    A lane below the shared bucket just pads — exactly what the
+    single-sequence engine does within a bucket level.
+    """
+    B = valid.shape[0]
+
+    def ingest(s, k, x, d, m):
+        if any(config.distortion):
+            from structure_from_motion_tpu.ops.distortion import (
+                undistort_pixels,
+            )
+
+            x = undistort_pixels(x, s.K[v], config.distortion)
+        s = tracks.set_view_features(s, v, x, d, m)
+        k_match, k_stage = jax.random.split(k)
+        s = _match_stage(s, v, k_match, config=config)
+        return s, k_stage
+
+    states, k_stage = jax.vmap(ingest)(states, keys, xy, desc, valid)
+
+    def binfo(sts):
+        zi = _zero_info(jax.tree_util.tree_map(lambda a: a[0], sts), config)
+        return jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), zi
+        )
+
+    def frame0(sts, ks):
+        dtype = sts.cam_C.dtype
+
+        def pin(s):
+            return tracks.set_camera(
+                s, 0, jnp.zeros(3, dtype), jnp.asarray([1.0, 0, 0, 0], dtype)
+            )
+
+        return jax.vmap(pin)(sts), binfo(sts)
+
+    def frame1(sts, ks):
+        sts, si = jax.vmap(
+            lambda s, k: _bootstrap_stage(s, k, config=config)
+        )(sts, ks)
+        info = binfo(sts)
+        info.update(
+            matches=si["matches"].astype(jnp.int32),
+            f_inliers=si["f_inliers"].astype(jnp.int32),
+            cheirality_counts=si["cheirality_counts"].astype(jnp.int32),
+            new_points=si["new_points"].astype(jnp.int32),
+        )
+        return sts, info
+
+    def frame_n(sts, ks):
+        V, Kk = sts.tri_index.shape[1:]
+        ladder = (
+            _bucket_ladder(V * Kk, floor=2048)
+            if config.localize_bucketing
+            else [V * Kk]
+        )
+        if len(ladder) > 1:
+            pnp_cnt, tri_ub = jax.vmap(
+                _localize_bucket_counts, in_axes=(0, None)
+            )(sts, v)
+            lvl = jnp.minimum(
+                _bucket_index(jnp.max(pnp_cnt), ladder),
+                _bucket_index(jnp.max(tri_ub), ladder),
+            )
+
+            def mk_loc(L):
+                def branch(ss, kk):
+                    return jax.vmap(
+                        lambda s, k: _localize_stage(
+                            s, v, k, config=config, bucket_level=L
+                        )
+                    )(ss, kk)
+
+                return branch
+
+            sts, si = jax.lax.switch(
+                lvl, [mk_loc(L) for L in range(len(ladder))], sts, ks
+            )
+        else:
+            sts, si = jax.vmap(
+                lambda s, k: _localize_stage(s, v, k, config=config)
+            )(sts, ks)
+
+        if config.ba_bucketing:
+            ba_ladder = _ba_ladder(
+                sts.points.shape[1], sts.obs_cam.shape[1]
+            )
+            idx = _ba_bucket_index(
+                ba_ladder, jnp.max(sts.num_points), jnp.max(sts.num_obs)
+            )
+
+            def mk_ba(L):
+                def branch(ss):
+                    return jax.vmap(
+                        lambda s: _ba_stage(s, config=config, bucket_level=L)
+                    )(ss)
+
+                return branch
+
+            sts, costs, ba_dropped = jax.lax.switch(
+                idx, [mk_ba(L) for L in range(len(ba_ladder))], sts
+            )
+        else:
+            sts, costs, ba_dropped = jax.vmap(
+                lambda s: _ba_stage(s, config=config)
+            )(sts)
+
+        info = binfo(sts)
+        info.update(
+            matches=si["matches"].astype(jnp.int32),
+            pnp_candidates=si["pnp_candidates"].astype(jnp.int32),
+            pnp_inliers=si["pnp_inliers"].astype(jnp.int32),
+            new_points=si["new_points"].astype(jnp.int32),
+            ba_costs=costs,
+            ba_dropped_obs=ba_dropped,
+        )
+        return sts, info
+
+    states, info = jax.lax.switch(
+        jnp.minimum(v, 2), [frame0, frame1, frame_n], states, k_stage
+    )
+    info["reprojection_px"] = jax.vmap(pipeline_reprojection_error)(states)
+    info["dropped_points"] = states.dropped_points
+    info["dropped_obs"] = states.dropped_obs
+    return states, info
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _batched_frame_step_native(states, v, keys, imgs, config):
-    return jax.vmap(
-        lambda s, k, im: _frame_step_native(s, v, k, im, config=config)
-    )(states, keys, imgs)
+    def detect(im):
+        kps, d = detect_and_describe(im, config.frontend)
+        return kps.xy, d, kps.mask
+
+    xy, desc, valid = jax.vmap(detect)(imgs)
+    return _batched_step_impl(states, v, keys, xy, desc, valid, config)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _batched_frame_step(states, v, keys, xy, desc, valid, config):
-    return jax.vmap(
-        lambda s, k, x, d, m: _frame_step(s, v, k, x, d, m, config=config)
-    )(states, keys, xy, desc, valid)
+    return _batched_step_impl(states, v, keys, xy, desc, valid, config)
 
 
 _evict_batched = jax.jit(jax.vmap(tracks.evict_oldest_view))
@@ -88,13 +242,6 @@ class BatchedIncrementalSfM:
                 "keyframe selection is per-lane data-dependent (lanes would "
                 "admit different frames and fall out of lockstep); use the "
                 "single-sequence IncrementalSfM for keyframed video"
-            )
-        if config.ba_bucketing or config.localize_bucketing:
-            # under vmap a lax.switch lowers to "execute every branch and
-            # select", so the adaptive buckets would COST instead of save;
-            # run the batch at full capacity
-            config = dataclasses.replace(
-                config, ba_bucketing=False, localize_bucketing=False
             )
         self.config = config
         self.batch = batch

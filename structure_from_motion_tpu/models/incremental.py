@@ -261,9 +261,33 @@ def _pack_indices(mask: Array, n: int) -> Array:
     return sel
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
+def _localize_bucket_counts(state: SfMState, v: Array) -> tuple[Array, Array]:
+    """(PnP candidate count, triangulation-candidate upper bound) for frame
+    ``v``, computable right after the match stage — used by the batched
+    engine to pick ONE shared bucket level for all lanes (the per-lane
+    ``lax.switch`` inside :func:`_localize_stage` would lower to
+    execute-every-branch under ``vmap``). The triangulation count drops the
+    ``v_free`` term (it depends on PnP output), so it upper-bounds the true
+    candidate count and the shared bucket is never undersized."""
+    V, Kk = state.tri_index.shape
+    targets = state.match_table[:, v, :]  # (V, K)
+    valid_m = targets >= 0
+    pnp_count = jnp.sum(valid_m & (state.tri_index >= 0))
+    u_idx = jnp.repeat(jnp.arange(V, dtype=jnp.int32), Kk)
+    usable = (u_idx < v) & state.cam_valid[u_idx]
+    tri_ub = jnp.sum(
+        valid_m.reshape(-1) & (state.tri_index < 0).reshape(-1) & usable
+    )
+    return pnp_count, tri_ub
+
+
+@functools.partial(jax.jit, static_argnames=("config", "bucket_level"))
 def _localize_stage(
-    state: SfMState, v: Array, key: Array, config: PipelineConfig
+    state: SfMState,
+    v: Array,
+    key: Array,
+    config: PipelineConfig,
+    bucket_level: int | None = None,
 ) -> tuple[SfMState, dict]:
     """PnP localization + incremental triangulation
     (reference ``ba_processor.py:137-267``).
@@ -298,7 +322,23 @@ def _localize_stage(
     prior_C = state.cam_C[v - 1]
     N = flat_pt.shape[0]
     ladder = _bucket_ladder(N, floor=2048) if config.localize_bucketing else [N]
-    if len(ladder) > 1:
+    if bucket_level is not None and len(ladder) > 1:
+        # static bucket (batched engine): the level was chosen OUTSIDE the
+        # vmap from the max live count across lanes, so no on-device switch
+        # is needed here (and under vmap it would cost, not save)
+        n = ladder[min(bucket_level, len(ladder) - 1)]
+        sel = _pack_indices(flat_mask, n)
+        sub = estimate_pnp(
+            key, X3d[sel], uv_v_all[sel], state.K[v], flat_mask[sel],
+            config.pnp_ransac, config.pnp_lm,
+            prior_R=prior_R, prior_C=prior_C,
+        )
+        pnp = PnPResult(
+            R=sub.R, C=sub.C,
+            inliers=jnp.zeros((N,), bool).at[sel].set(sub.inliers),
+            num_inliers=sub.num_inliers,
+        )
+    elif len(ladder) > 1:
         # capacity-adaptive bucketing: the live 2D-3D candidates (typically
         # a few hundred) pack to the front of the smallest bucket that
         # holds them, and the whole PnP solve (RANSAC scoring + the
@@ -359,7 +399,9 @@ def _localize_stage(
     # scans is pure latency on TPU.
     P_v = camera_projection(state.K[v], pnp.R, pnp.C)
     n_before = state.num_points
-    state = _triangulate_new_flat(state, v, P_v, flat_tgt, valid_m, config)
+    state = _triangulate_new_flat(
+        state, v, P_v, flat_tgt, valid_m, config, bucket_level=bucket_level
+    )
 
     info = {
         "matches": jnp.sum(valid_m),
@@ -377,6 +419,7 @@ def _triangulate_new_flat(
     flat_tgt: Array,
     valid_m: Array,
     config: PipelineConfig,
+    bucket_level: int | None = None,
 ) -> SfMState:
     """Triangulate every not-yet-constructed match (u, v, k) for all prior
     views u at once, gate admissions, and register points + observations.
@@ -458,7 +501,11 @@ def _triangulate_new_flat(
         return st
 
     ladder = _bucket_ladder(N, floor=2048) if config.localize_bucketing else [N]
-    if len(ladder) > 1:
+    if bucket_level is not None and len(ladder) > 1:
+        # static bucket chosen outside the vmap (see _localize_bucket_counts)
+        n = ladder[min(bucket_level, len(ladder) - 1)]
+        state = _admit(state, _pack_indices(cand, n), n)
+    elif len(ladder) > 1:
         # capacity-adaptive bucketing (see _localize_stage): the LM scan in
         # triangulate() and the gates run at the smallest bucket holding
         # the live candidates instead of the full V*K slab
@@ -477,8 +524,32 @@ def _triangulate_new_flat(
     return state
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def _ba_stage(state: SfMState, config: PipelineConfig) -> tuple[SfMState, Array, Array]:
+def _ba_ladder(M: int, O: int) -> list:
+    """Static (points, observations) halving ladder for BA bucketing."""
+    ladder = [(M, O)]
+    while len(ladder) < 4:
+        m, o = ladder[-1]
+        if m % 2 or o % 2 or m // 2 < 256 or o // 2 < 1024:
+            break
+        ladder.append((m // 2, o // 2))
+    return ladder
+
+
+def _ba_bucket_index(ladder: list, num_points: Array, num_obs: Array) -> Array:
+    """Branch index = number of halved levels that still hold the live
+    counts (fits are monotone along the ladder)."""
+    idx = jnp.asarray(0, jnp.int32)
+    for m, o in ladder[1:]:
+        idx = idx + jnp.logical_and(num_points <= m, num_obs <= o).astype(
+            jnp.int32
+        )
+    return idx
+
+
+@functools.partial(jax.jit, static_argnames=("config", "bucket_level"))
+def _ba_stage(
+    state: SfMState, config: PipelineConfig, bucket_level: int | None = None
+) -> tuple[SfMState, Array, Array]:
     """Global bundle adjustment over all valid views/points/observations.
 
     With ``config.ba_num_shards > 1`` this IS the distributed path: map
@@ -540,12 +611,7 @@ def _ba_stage(state: SfMState, config: PipelineConfig) -> tuple[SfMState, Array,
         # at upenn scale). lax.switch picks the bucket on device.
         M = state.points.shape[0]
         O = state.obs_cam.shape[0]
-        ladder = [(M, O)]
-        while len(ladder) < 4:
-            m, o = ladder[-1]
-            if m % 2 or o % 2 or m // 2 < 256 or o // 2 < 1024:
-                break
-            ladder.append((m // 2, o // 2))
+        ladder = _ba_ladder(M, O)
 
         def make_branch(m: int, o: int):
             def branch(st: SfMState):
@@ -566,16 +632,17 @@ def _ba_stage(state: SfMState, config: PipelineConfig) -> tuple[SfMState, Array,
 
             return branch
 
-        # fits[k] is monotone (same live counts, shrinking buckets), so the
-        # branch index = number of halved levels that still fit
-        idx = jnp.asarray(0, jnp.int32)
-        for m, o in ladder[1:]:
-            idx = idx + jnp.logical_and(
-                state.num_points <= m, state.num_obs <= o
-            ).astype(jnp.int32)
-        state, costs = jax.lax.switch(
-            idx, [make_branch(m, o) for m, o in ladder], state
-        )
+        if bucket_level is not None:
+            # static bucket chosen outside the vmap (batched engine)
+            m, o = ladder[min(bucket_level, len(ladder) - 1)]
+            state, costs = make_branch(m, o)(state)
+        else:
+            # fits[k] is monotone (same live counts, shrinking buckets), so
+            # the branch index = number of halved levels that still fit
+            idx = _ba_bucket_index(ladder, state.num_points, state.num_obs)
+            state, costs = jax.lax.switch(
+                idx, [make_branch(m, o) for m, o in ladder], state
+            )
     else:
         out, costs = run_bundle_adjustment(ba_state, full_obs(state), config.ba)
         state = state._replace(cam_C=out.C, cam_q=out.q, points=out.X)
