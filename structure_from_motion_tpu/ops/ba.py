@@ -356,18 +356,6 @@ def _apply_step(state: BAState, dc: Array, dp: Array) -> BAState:
     return BAState(C=C, q=q, X=X, cam_valid=state.cam_valid, pt_valid=state.pt_valid)
 
 
-def ba_iteration(
-    state: BAState,
-    obs: BAObservations,
-    config: BAConfig,
-    damping: Array | None = None,
-    psum: Callable[[Array], Array] | None = None,
-) -> tuple[BAState, Array]:
-    """One fixed-damping LM iteration. Returns (new state, cost before)."""
-    lam = jnp.asarray(config.damping if damping is None else damping, state.X.dtype)
-    return _lm_body(state, lam, obs, config, psum, sorted_by_point=False)
-
-
 def _lm_body(st, lam, obs, config, psum, sorted_by_point):
     U, D, W, b_c, b_p, cost = _assemble(st, obs, config, sorted_by_point)
     if psum is not None:

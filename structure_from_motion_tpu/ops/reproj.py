@@ -20,8 +20,6 @@ updates are ``params += delta``.
 
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 from jax import Array
@@ -30,17 +28,6 @@ from structure_from_motion_tpu.utils.rotations import (
     drotation_dquat,
     quat_to_rotation,
 )
-
-
-class CameraState(NamedTuple):
-    """Batched camera parameters: centers (V, 3) and quaternions (V, 4)."""
-
-    C: Array
-    q: Array
-
-    @property
-    def R(self) -> Array:
-        return quat_to_rotation(self.q)
 
 
 def project_normalized(C: Array, q: Array, X: Array):
