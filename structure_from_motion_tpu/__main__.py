@@ -236,6 +236,20 @@ def cmd_reconstruct(args) -> int:
             f"{counts['observations']} observations)"
         )
 
+    if args.export_tum:
+        from structure_from_motion_tpu.io.tum import export_tum_trajectory
+
+        tum_path = os.path.join(args.out, "trajectory.tum")
+        # timestamps = accepted INPUT frame indices, so trajectories from
+        # runs with different keyframe thinning still associate by frame
+        ts = (
+            np.asarray(engine.keyframe_indices, np.float64)
+            if len(engine.keyframe_indices) == len(locs)
+            else None
+        )
+        n_poses = export_tum_trajectory(tum_path, locs, rots, timestamps=ts)
+        print(f"TUM trajectory -> {tum_path} ({n_poses} poses; evo-compatible)")
+
     if args.export_ply:
         from structure_from_motion_tpu.io.ply import export_ply
 
@@ -379,6 +393,12 @@ def main(argv=None) -> int:
         help="admit a frame only when its median match displacement vs the "
              "last accepted frame is at least PX pixels (0 = every frame); "
              "recommended for video input in --window-mode slide",
+    )
+    r.add_argument(
+        "--export-tum", action="store_true",
+        help="also write the camera trajectory as <out>/trajectory.tum "
+             "(TUM format: timestamp tx ty tz qx qy qz qw — consumable by "
+             "evo_ape/evo_rpe and the TUM RGB-D tools)",
     )
     r.add_argument(
         "--export-ply", action="store_true",

@@ -9,3 +9,7 @@ from structure_from_motion_tpu.io.datasets import (  # noqa: F401
     load_points_txt,
     upenn_intrinsics,
 )
+from structure_from_motion_tpu.io.tum import (  # noqa: F401
+    export_tum_trajectory,
+    load_tum_trajectory,
+)

@@ -75,6 +75,61 @@ def test_prefetching_loader_order_and_fallback(reference_dataset_path, tmp_path)
     assert img.shape == (8, 8)
 
 
+def test_tum_trajectory_roundtrip(tmp_path):
+    """export -> load recovers centers, rotations, and timestamps; the file
+    is the evo-consumable `ts tx ty tz qx qy qz qw` layout (xyzw order)."""
+    from scipy.spatial.transform import Rotation
+
+    from structure_from_motion_tpu.io import (
+        export_tum_trajectory,
+        load_tum_trajectory,
+    )
+
+    rng = np.random.default_rng(3)
+    F = 5
+    locs = rng.normal(size=(F, 3))
+    rots = Rotation.random(F, random_state=7).as_matrix()
+    ts_in = np.array([0.0, 1.0, 2.0, 4.0, 9.0])
+    path = str(tmp_path / "traj.tum")
+    assert export_tum_trajectory(path, locs, rots, timestamps=ts_in) == F
+
+    ts, C, R = load_tum_trajectory(path)
+    np.testing.assert_allclose(ts, ts_in)
+    np.testing.assert_allclose(C, locs, atol=1e-8)
+    np.testing.assert_allclose(R, rots, atol=1e-6)
+
+    # field order on disk is the TUM contract: qx qy qz qw (xyzw), not wxyz
+    with open(path) as f:
+        f.readline()  # header comment
+        vals = [float(v) for v in f.readline().split()]
+    q_scipy = Rotation.from_matrix(rots[0]).as_quat()  # scipy is xyzw
+    q_file = np.asarray(vals[4:8])
+    sign = np.sign(q_file[3]) * np.sign(q_scipy[3]) or 1.0
+    np.testing.assert_allclose(q_file, sign * q_scipy, atol=1e-6)
+
+
+def test_tum_export_from_engine_poses(tmp_path):
+    """The engine's poses() round-trip through the TUM file unchanged, so
+    external ATE tools score exactly the trajectory the engine reports."""
+    from structure_from_motion_tpu.io import (
+        export_tum_trajectory,
+        load_tum_trajectory,
+    )
+    from structure_from_motion_tpu.models import IncrementalSfM
+    from tests.test_incremental import pipeline_config, synthetic_sequence
+
+    K, frames, _, _, _ = synthetic_sequence(n_views=3)
+    engine = IncrementalSfM(pipeline_config.__wrapped__(), K, frontend="precomputed")
+    for f in frames:
+        engine.process_features(*f)
+    locs, rots = engine.poses()
+    path = str(tmp_path / "engine.tum")
+    export_tum_trajectory(path, locs, rots)
+    _, C, R = load_tum_trajectory(path)
+    np.testing.assert_allclose(C, locs, atol=1e-7)
+    np.testing.assert_allclose(R, rots, atol=1e-5)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import jax.numpy as jnp
 
