@@ -53,7 +53,7 @@ def bench_ba_iters_per_s():
     from structure_from_motion_tpu.utils import roofline
 
     iters = 20
-    cfg = BAConfig(iterations=iters, damping=5.0, huber_delta=0.01)
+    cfg = BAConfig(iterations=iters, damping=5.0, huber_delta=0.01, ell_rows=6)
     state, obs = ge._synthetic_ba_problem(
         n_views=6, n_points=1024, cap_v=8, cap_m=1024, cap_o=8192
     )
@@ -68,7 +68,9 @@ def bench_ba_iters_per_s():
         costs = f(state, obs)
     float(costs[-1])
     dt = (time.perf_counter() - t0) / n_rep / iters
-    flops, byts = roofline.ba_iteration_model(8, 1024, 8192, dense_schur=True)
+    flops, byts = roofline.ba_iteration_model(
+        8, 1024, 8192, dense_schur=True, ell_rows=6
+    )
     return 1.0 / dt, roofline.sol_pct(dt, flops, byts)
 
 
@@ -83,7 +85,9 @@ def bench_ba_large():
     from structure_from_motion_tpu.utils import roofline
 
     iters = 5
-    cfg = BAConfig(iterations=iters, damping=5.0, huber_delta=0.01)
+    # ell_rows=8: the synthetic problem observes each point from exactly 8
+    # cameras; the padded ELL table is then exactly the observation stream
+    cfg = BAConfig(iterations=iters, damping=5.0, huber_delta=0.01, ell_rows=8)
     state, obs = ge._synthetic_ba_problem(
         n_views=32, n_points=16384, cap_v=32, cap_m=16384, cap_o=131072
     )
@@ -95,7 +99,9 @@ def bench_ba_large():
         costs = f(state, obs)
     float(costs[-1])
     dt = (time.perf_counter() - t0) / n_rep / iters
-    flops, byts = roofline.ba_iteration_model(32, 16384, 131072, dense_schur=True)
+    flops, byts = roofline.ba_iteration_model(
+        32, 16384, 131072, dense_schur=True, ell_rows=8
+    )
     return 1.0 / dt, roofline.sol_pct(dt, flops, byts)
 
 
@@ -111,7 +117,7 @@ def bench_ba_pcg():
     iters = 5
     cfg = BAConfig(
         iterations=iters, damping=5.0, huber_delta=0.01,
-        pcg_fallback_cameras=1, pcg_iterations=64,
+        pcg_fallback_cameras=1, pcg_iterations=64, ell_rows=4,
     )
     state, obs = ge._synthetic_ba_problem(
         n_views=64, n_points=65536, cap_v=64, cap_m=65536, cap_o=262144
@@ -125,7 +131,7 @@ def bench_ba_pcg():
     float(costs[-1])
     dt = (time.perf_counter() - t0) / n_rep / iters
     flops, byts = roofline.ba_iteration_model(
-        64, 65536, 262144, dense_schur=False, pcg_iters=8
+        64, 65536, 262144, dense_schur=False, pcg_iters=64, ell_rows=4
     )
     return dt * 1e3, roofline.sol_pct(dt, flops, byts)
 

@@ -174,6 +174,19 @@ class BAConfig:
     # on TPU (falls back to XLA off-TPU or when the observation capacity is
     # not tile-aligned); "xla"/"pallas" force a path.
     assemble_impl: str = "auto"
+    # Observation layout inside the LM loop. "ell": observations are packed
+    # once per BA call into a dense (points, ell_rows) table so every
+    # point-axis reduction is a reshape+sum and the Schur coupling builds as
+    # a one-hot MXU matmul — no scatter/segment-sum per iteration (TPU
+    # scatters cost ~10 ms at 131k rows; dense sums run at HBM bandwidth).
+    # "csr": the sorted observation stream + segment-sums (round-2 path).
+    obs_layout: str = "ell"
+    # Slots per point in the ELL table; 0 = the camera-slot count V (always
+    # safe: the track table holds at most one observation per (view, point)
+    # pair). Set explicitly when V is large but tracks are short — slots
+    # beyond the true maximum track length only waste bandwidth, but a value
+    # BELOW it silently drops the excess observations from BA.
+    ell_rows: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -10,30 +10,39 @@ Reference (per LM iteration): a Python loop over every (point, view) pair,
 memory — and a dense reduced camera solve.
 
 Here: observations live in an SoA layout ``(obs_cam, obs_point, obs_uv)``
-with a validity mask (fixed capacity). One LM iteration is:
+with a validity mask (fixed capacity), packed ONCE per BA call into a
+dense ELL table — point m owns ``ell_rows`` contiguous slots — so that no
+LM or CG iteration contains a scatter or segment-sum (on TPU a
+scatter-add over 131k rows costs ~10 ms while the equivalent dense
+reshape-sum runs at HBM bandwidth; measured in
+``examples/profile_ba_breakdown.py``). One LM iteration is:
 
     1. residual + Jacobian blocks for ALL observations at once (one fused
        vmapped kernel from ``ops/reproj.py``): res (O,2), J_cam (O,2,7),
        J_pt (O,2,3);
     2. optional Huber robust-loss reweighting (deliberate improvement; off
        by default for reference parity);
-    3. block assembly by segment-sum:
-         U_v  = sum_{o in view v}  J_cam^T J_cam   (V,7,7)
-         D_m  = sum_{o in point m} J_pt^T J_pt     (M,3,3)
+    3. block assembly:
+         U_v  = sum_{o in view v}  J_cam^T J_cam   (V,7,7)  one-hot matmul
+         D_m  = sum_{o in point m} J_pt^T J_pt     (M,3,3)  reshape-sum
          W_o  = J_cam^T J_pt                       (O,7,3)
          b_c, b_p = J^T res
        D stays a batched (M,3,3) array; its inverse is the closed-form
        ``inv3x3`` — never a dense block_diag;
-    4. Schur complement on point blocks. Per-point camera coupling is
-       scattered into G (M,V,7,3) (at most one observation per (view,point)
-       pair, matching the reference's table semantics) and the reduced
-       system S = U + lambda I - G D^-1 G^T is formed by one einsum
-       contraction — XLA never materialises an (M,7V,7V) intermediate;
+    4. Schur complement on point blocks. Per-point camera coupling
+       G (M,V,7,3) builds as a one-hot MXU matmul over the ELL rows (at
+       most one observation per (view,point) pair, matching the
+       reference's table semantics) and the reduced system
+       S = U + lambda I - G D^-1 G^T is formed by one einsum contraction —
+       XLA never materialises an (M,7V,7V) intermediate;
     5. dense Cholesky solve of the (7V,7V) reduced system (V <= window
        size; for large V, ``parallel/ba_sharded.py`` swaps in PCG with
        psum'd matvecs), then back-substitution for the point updates;
     6. ``C += dc``, ``q <- normalize(q + dq)``, ``X += dp`` (the
        reference's quaternion-renorm update, ``ba_processor.py:386-416``).
+
+``BAConfig.obs_layout = "csr"`` keeps the round-2 sorted-stream layout
+(segment-sums + coupling scatter) for comparison benchmarks.
 
 Damping is the reference's fixed lambda added to both camera and point
 blocks; iteration count is static. Gauge fixing (pin camera 0) is optional
@@ -113,8 +122,51 @@ def _sort_obs_by_point(obs: BAObservations) -> BAObservations:
     )
 
 
-def _point_sum(vals: Array, point: Array, m: int, sorted_by_point: bool) -> Array:
+def _to_ell(obs: BAObservations, m: int, rows: int) -> BAObservations:
+    """Pack the observation stream into ELL layout: point p owns the
+    ``rows`` contiguous slots ``[p*rows, (p+1)*rows)`` of the returned flat
+    stream, empty slots marked invalid. ``point`` becomes the implicit
+    ``arange(m*rows) // rows``, so every point-axis reduction downstream is
+    a dense ``reshape(m, rows, ...).sum(1)`` and every point-axis gather a
+    broadcast — the layout that removes all scatters/segment-sums from the
+    LM and PCG loops (one TPU scatter-add over 131k rows costs ~10 ms; the
+    dense sum runs at HBM bandwidth).
+
+    Safe whenever no point has more than ``rows`` valid observations — the
+    track table guarantees at most one observation per (view, point) pair,
+    so ``rows = V`` always qualifies. Excess observations beyond ``rows``
+    are dropped (validity cleared); callers choosing a smaller ``rows``
+    own that trade. Pure JAX; one sort + one scatter per BA call, amortised
+    over every LM/CG iteration."""
+    s = _sort_obs_by_point(
+        obs._replace(point=jnp.where(obs.valid, obs.point, m))
+    )
+    # rank of each observation within its point's contiguous run
+    start = jnp.searchsorted(s.point, jnp.arange(m + 1, dtype=s.point.dtype))
+    rank = jnp.arange(s.point.shape[0], dtype=s.point.dtype) - start[
+        jnp.minimum(s.point, m)
+    ]
+    keep = jnp.logical_and(s.valid, rank < rows)
+    dest = jnp.where(keep, s.point * rows + rank, m * rows)  # dump slot
+
+    total = m * rows
+    cam = jnp.zeros((total + 1,), jnp.int32).at[dest].set(s.cam.astype(jnp.int32))
+    uv = jnp.zeros((total + 1, 2), s.uv_norm.dtype).at[dest].set(s.uv_norm)
+    valid = jnp.zeros((total + 1,), bool).at[dest].set(keep)
+    point = jnp.broadcast_to(
+        jnp.arange(m, dtype=jnp.int32)[:, None], (m, rows)
+    ).reshape(total)
+    return BAObservations(
+        cam=cam[:total], point=point, uv_norm=uv[:total], valid=valid[:total]
+    )
+
+
+def _point_sum(
+    vals: Array, point: Array, m: int, sorted_by_point: bool, ell_rows: int = 0
+) -> Array:
     """Sum per-observation values into (m, ...) point bins."""
+    if ell_rows:
+        return vals.reshape((m, ell_rows) + vals.shape[1:]).sum(axis=1)
     if sorted_by_point:
         return jax.ops.segment_sum(
             vals, point, num_segments=m, indices_are_sorted=True
@@ -122,19 +174,32 @@ def _point_sum(vals: Array, point: Array, m: int, sorted_by_point: bool) -> Arra
     return jnp.zeros((m,) + vals.shape[1:], vals.dtype).at[point].add(vals)
 
 
+def _point_gather(vals: Array, point: Array, ell_rows: int = 0) -> Array:
+    """Expand (m, ...) point values to the per-observation stream."""
+    if ell_rows:
+        m = vals.shape[0]
+        return jnp.broadcast_to(
+            vals[:, None], (m, ell_rows) + vals.shape[1:]
+        ).reshape((m * ell_rows,) + vals.shape[1:])
+    return vals[point]
+
+
 def _assemble(
     state: BAState,
     obs: BAObservations,
     config: BAConfig,
     sorted_by_point: bool = False,
+    ell_rows: int = 0,
 ):
-    """Residuals -> all LM blocks. Shard-safe: pure segment-sums over the
-    local observation shard. On TPU the residual/Jacobian/block-product
-    stage runs as one fused Pallas kernel (``ops/ba_pallas.py``) with the
-    camera-axis reduction accumulated in VMEM."""
+    """Residuals -> all LM blocks. Shard-safe: pure segment-sums (CSR) or
+    dense reshape-sums (ELL) over the local observation shard. On TPU the
+    residual/Jacobian/block-product stage runs as one fused Pallas kernel
+    (``ops/ba_pallas.py``) with the camera-axis reduction accumulated in
+    VMEM."""
     V = state.C.shape[0]
     M = state.X.shape[0]
     w = obs.valid.astype(state.X.dtype)
+    X_o = _point_gather(state.X, obs.point, ell_rows)
 
     if _use_pallas(config, obs.cam.shape[0]):
         from structure_from_motion_tpu.ops.ba_pallas import pallas_ba_blocks
@@ -143,7 +208,7 @@ def _assemble(
             obs.cam,
             state.C[obs.cam],
             state.q[obs.cam],
-            state.X[obs.point],
+            X_o,
             obs.uv_norm,
             w,
             n_views=V,
@@ -153,12 +218,12 @@ def _assemble(
             interpret=jax.default_backend() != "tpu",
         )
         dt = state.X.dtype
-        D = _point_sum(DtD.astype(dt), obs.point, M, sorted_by_point)
-        b_p = _point_sum(bp_o.astype(dt), obs.point, M, sorted_by_point)
+        D = _point_sum(DtD.astype(dt), obs.point, M, sorted_by_point, ell_rows)
+        b_p = _point_sum(bp_o.astype(dt), obs.point, M, sorted_by_point, ell_rows)
         return U.astype(dt), D, W.astype(dt), b_c.astype(dt), b_p, cost.astype(dt)
 
     res, J_cam, J_pt = batched_residual_jacobians(
-        state.C[obs.cam], state.q[obs.cam], state.X[obs.point], obs.uv_norm
+        state.C[obs.cam], state.q[obs.cam], X_o, obs.uv_norm
     )
     rw = huber_weights(res, config.huber_delta) * w
     res = res * rw[:, None]
@@ -182,8 +247,8 @@ def _assemble(
     oh_cam = jax.nn.one_hot(obs.cam, V, dtype=state.X.dtype)  # (O, V)
     U = jnp.einsum("ov,oij->vij", oh_cam, UtU)
     b_c = jnp.einsum("ov,oi->vi", oh_cam, bc_o)
-    D = _point_sum(DtD, obs.point, M, sorted_by_point)
-    b_p = _point_sum(bp_o, obs.point, M, sorted_by_point)
+    D = _point_sum(DtD, obs.point, M, sorted_by_point, ell_rows)
+    b_p = _point_sum(bp_o, obs.point, M, sorted_by_point, ell_rows)
 
     cost = jnp.sum(res**2)
     return U, D, W, b_c, b_p, cost
@@ -199,12 +264,19 @@ def _gauge_pin(state: BAState, config: BAConfig) -> Array:
     return pin
 
 
-def _solve_dense(U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum):
-    """Exact Schur solve: scatter W into G (M,V,7,3), one einsum for the
-    (7V,7V) reduced system, dense solve. Right for windowed V (<= a few
-    hundred cameras)."""
+def _solve_dense(U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum, ell_rows=0):
+    """Exact Schur solve: build the coupling G (M,V,7,3) — a one-hot MXU
+    matmul over the ELL rows, or a scatter from the CSR stream — then one
+    einsum for the (7V,7V) reduced system and a dense solve. Right for
+    windowed V (<= a few hundred cameras)."""
     M = Dinv.shape[0]
-    G = jnp.zeros((M, V, 7, 3), dtype).at[obs.point, obs.cam].add(W)
+    if ell_rows:
+        # dense build: (M,T,V) one-hot x (M,T,7,3) -> (M,V,7,3) on the MXU;
+        # invalid slots carry zero Jacobians so their cam id 0 adds nothing
+        ohc = jax.nn.one_hot(obs.cam.reshape(M, ell_rows), V, dtype=dtype)
+        G = jnp.einsum("mtv,mtic->mvic", ohc, W.reshape(M, ell_rows, 7, 3))
+    else:
+        G = jnp.zeros((M, V, 7, 3), dtype).at[obs.point, obs.cam].add(W)
     S_coupling = jnp.einsum("mvic,mcd,mwjd->vijw", G, Dinv, G)  # (V,7,7,V)
     if psum is not None:
         U = psum(U)
@@ -234,29 +306,30 @@ def _solve_dense(U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum):
 
 def _solve_pcg(
     U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum, config: BAConfig,
-    sorted_by_point: bool = False,
+    sorted_by_point: bool = False, ell_rows: int = 0,
 ):
     """Matrix-free PCG on the reduced camera system (large V).
 
-    Never forms S or even G: one S-matvec is two einsums + two segment-sums
-    over the (local) observation shard plus one psum of a (V,7) vector —
-    O(O) work, O(V) communication, independent of the point count. The
-    preconditioner is block-Jacobi: exact 7x7 diagonal blocks of S,
-    inverted per camera.
+    Never forms S or even G: one S-matvec is two einsums plus a point-axis
+    reduction over the (local) observation shard plus one psum of a (V,7)
+    vector — O(O) work, O(V) communication, independent of the point
+    count. The preconditioner is block-Jacobi: exact 7x7 diagonal blocks
+    of S, inverted per camera.
 
-    The local observation shard is re-sorted by point id ONCE per solve so
-    the per-CG-iteration point-axis reduction runs as a sorted segment-sum
-    — measured ~30% faster than the unsorted scatter-add on TPU at 262k
-    observations, and it executes ``pcg_iterations`` times per solve.
+    In ELL layout (the default) the per-CG-iteration point reduction is a
+    dense reshape-sum and the D^-1 G^T x expansion a broadcast; the CSR
+    path keeps the sorted segment-sum (re-sorting here once per solve when
+    the caller didn't).
     """
     from structure_from_motion_tpu.ops.linalg import pcg_solve
 
+    M = Dinv.shape[0]
     U_hat = psum(U) if psum is not None else U
     U_hat = U_hat + lam * jnp.eye(7, dtype=dtype)[None]
 
-    if sorted_by_point:
-        # the caller (run_bundle_adjustment) already point-sorted the
-        # observations once for the whole BA call
+    if sorted_by_point or ell_rows:
+        # run_bundle_adjustment already canonicalised the layout once for
+        # the whole BA call
         pt_s, cam_s, W_s = obs.point, obs.cam, W
     else:
         order = jnp.argsort(obs.point)
@@ -268,7 +341,8 @@ def _solve_pcg(
     # observations of W_o Dinv_{pt(o)} W_o^T  (cross-observation terms of the
     # same (cam, point) pair don't exist: at most one obs per pair)
     oh_cam = jax.nn.one_hot(cam_s, V, dtype=dtype)  # (O, V)
-    WD = jnp.einsum("oic,ocd->oid", W_s, Dinv[pt_s])  # (O,7,3)
+    Dinv_o = _point_gather(Dinv, pt_s, ell_rows)
+    WD = jnp.einsum("oic,ocd->oid", W_s, Dinv_o)  # (O,7,3)
     diag_o = jnp.einsum("oid,ojd->oij", WD, W_s)  # (O,7,7)
     S_diag = jnp.einsum("ov,oij->vij", oh_cam, diag_o)
     if psum is not None:
@@ -282,11 +356,9 @@ def _solve_pcg(
         # stays OUTSIDE the collective; only the local coupling is psummed
         xz = jnp.where(pin[:, None], 0.0, x)
         t = jnp.einsum("oic,oi->oc", W_s, xz[cam_s])  # (O,3) = G^T x per obs
-        g = jax.ops.segment_sum(
-            t, pt_s, num_segments=Dinv.shape[0], indices_are_sorted=True
-        )
+        g = _point_sum(t, pt_s, M, sorted_by_point=True, ell_rows=ell_rows)
         y = jnp.einsum("mcd,md->mc", Dinv, g)  # D^-1 G^T x
-        z = jnp.einsum("oic,oc->oi", W_s, y[pt_s])  # (O,7)
+        z = jnp.einsum("oic,oc->oi", W_s, _point_gather(y, pt_s, ell_rows))
         coup = jnp.einsum("ov,oi->vi", oh_cam, z)  # one-hot matmul, not scatter
         if psum is not None:
             coup = psum(coup)
@@ -305,6 +377,7 @@ def _reduce_and_solve(
     psum: Callable[[Array], Array] | None = None,
     damping: Array | None = None,
     sorted_by_point: bool = False,
+    ell_rows: int = 0,
 ):
     """Schur reduction + reduced camera solve + point back-substitution.
 
@@ -324,7 +397,9 @@ def _reduce_and_solve(
 
     # b_red = b_c - G D^-1 b_p, from per-observation W blocks
     y = jnp.einsum("mcd,md->mc", Dinv, b_p)  # (M,3)
-    contrib = jnp.einsum("oic,oc->oi", W, y[obs.point])  # (O,7)
+    contrib = jnp.einsum(
+        "oic,oc->oi", W, _point_gather(y, obs.point, ell_rows)
+    )  # (O,7)
     oh_cam = jax.nn.one_hot(obs.cam, V, dtype=dtype)  # (O, V)
     b_red = b_c - jnp.einsum("ov,oi->vi", oh_cam, contrib)
     if psum is not None:
@@ -334,15 +409,17 @@ def _reduce_and_solve(
     if V >= config.pcg_fallback_cameras:
         dc = _solve_pcg(
             U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum, config,
-            sorted_by_point,
+            sorted_by_point, ell_rows,
         )
     else:
         b_red = jnp.where(pin[:, None], 0.0, b_red)
-        dc = _solve_dense(U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum)
+        dc = _solve_dense(
+            U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum, ell_rows
+        )
 
     # back-substitute points: dp_m = Dinv (b_p - sum_{o in m} W_o^T dc_{cam o})
     t = jnp.einsum("oic,oi->oc", W, dc[obs.cam])  # (O,3)
-    Gt_dc = _point_sum(t, obs.point, D.shape[0], sorted_by_point)
+    Gt_dc = _point_sum(t, obs.point, D.shape[0], sorted_by_point, ell_rows)
     dp = jnp.einsum("mcd,md->mc", Dinv, b_p - Gt_dc)
     return dc, dp
 
@@ -356,12 +433,15 @@ def _apply_step(state: BAState, dc: Array, dp: Array) -> BAState:
     return BAState(C=C, q=q, X=X, cam_valid=state.cam_valid, pt_valid=state.pt_valid)
 
 
-def _lm_body(st, lam, obs, config, psum, sorted_by_point):
-    U, D, W, b_c, b_p, cost = _assemble(st, obs, config, sorted_by_point)
+def _lm_body(st, lam, obs, config, psum, sorted_by_point, ell_rows=0):
+    U, D, W, b_c, b_p, cost = _assemble(
+        st, obs, config, sorted_by_point, ell_rows
+    )
     if psum is not None:
         cost = psum(cost)  # cost must be global for the accept test
     dc, dp = _reduce_and_solve(
-        U, D, W, b_c, b_p, st, obs, config, psum, lam, sorted_by_point
+        U, D, W, b_c, b_p, st, obs, config, psum, lam, sorted_by_point,
+        ell_rows,
     )
     return _apply_step(st, dc, dp), cost
 
@@ -381,14 +461,24 @@ def run_bundle_adjustment(
     the reference's always-accept fixed-lambda behaviour.
     """
     dtype = state.X.dtype
-    # point-sorted layout: every point-axis reduction in the LM/CG loops
-    # becomes a sorted segment-sum; one argsort per BA call instead of one
-    # per PCG solve
-    obs = _sort_obs_by_point(obs)
+    # canonicalise the observation layout ONCE per BA call, hoisted out of
+    # the LM/CG loops: ELL (default) turns every point-axis reduction into
+    # a dense reshape-sum and every point gather into a broadcast — no
+    # scatter/segment-sum per iteration; CSR keeps the round-2 sorted
+    # segment-sum stream.
+    ell_rows = 0
+    if config.obs_layout == "ell":
+        ell_rows = config.ell_rows or state.C.shape[0]
+        obs = _to_ell(obs, state.X.shape[0], ell_rows)
+    else:
+        obs = _sort_obs_by_point(obs)
 
     def body(carry, _):
         st, lam = carry
-        cand, cost = _lm_body(st, lam, obs, config, psum, sorted_by_point=True)
+        cand, cost = _lm_body(
+            st, lam, obs, config, psum, sorted_by_point=True,
+            ell_rows=ell_rows,
+        )
         if not config.adaptive:
             return (cand, lam), cost
         # the accept test must compare the SAME objective _assemble charged
@@ -396,7 +486,8 @@ def run_bundle_adjustment(
         # systematically rejects improving steps on contaminated maps (raw
         # >= Huber always, so outliers inflate only the candidate's side)
         new_cost = total_reprojection_cost(
-            cand, obs, psum, huber_delta=config.huber_delta
+            cand, obs, psum, huber_delta=config.huber_delta,
+            ell_rows=ell_rows,
         )
         accept = new_cost < cost
         st_next = jax.tree_util.tree_map(
@@ -419,6 +510,7 @@ def total_reprojection_cost(
     obs: BAObservations,
     psum: Callable[[Array], Array] | None = None,
     huber_delta: float = 0.0,
+    ell_rows: int = 0,
 ) -> Array:
     """Sum of squared normalised-coordinate residuals over valid
     observations. With ``huber_delta > 0`` residuals are IRLS-weighted
@@ -426,7 +518,10 @@ def total_reprojection_cost(
     the adaptive accept test passes ``config.huber_delta`` so both sides
     of the comparison measure the same robust objective."""
     res, _, _ = batched_residual_jacobians(
-        state.C[obs.cam], state.q[obs.cam], state.X[obs.point], obs.uv_norm
+        state.C[obs.cam],
+        state.q[obs.cam],
+        _point_gather(state.X, obs.point, ell_rows),
+        obs.uv_norm,
     )
     w = huber_weights(res, huber_delta) * obs.valid.astype(res.dtype)
     cost = jnp.sum((res * w[:, None]) ** 2)

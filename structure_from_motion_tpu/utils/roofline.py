@@ -43,29 +43,54 @@ def matcher_model(n_ref: int, n_que: int, dim: int, bytes_per_el: int = 4):
 
 def ba_iteration_model(
     n_views: int, n_points: int, n_obs: int, dense_schur: bool = True,
-    pcg_iters: int = 8, bytes_per_el: int = 4,
+    pcg_iters: int = 8, bytes_per_el: int = 4, ell_rows: int = 0,
+    adaptive: bool = True,
 ):
     """(flops, hbm_bytes) of one Schur-LM iteration.
 
     Counts: residual+Jacobian assembly (~300 flops/obs), the per-observation
     block products (U/D/W/b, ~360 flops/obs), the Schur reduction (dense:
-    the (M,V,7,3) coupling scatter + one (V,7,7,V) contraction; PCG: per-CG
-    matvec einsums), the reduced solve, and point back-substitution.
-    Streaming traffic covers every (O,...)/(M,...) array once per pass.
+    the (M,V,7,3) coupling build — one-hot matmul in ELL layout, scatter in
+    CSR — plus one (V,7,7,V) contraction; PCG: per-CG matvec einsums), the
+    reduced solve, point back-substitution, and (``adaptive``) the
+    trust-region accept test's extra residual pass. With ``ell_rows > 0``
+    the observation stream is the padded ELL table (``n_points * ell_rows``
+    slots) and every point-axis reduction is a dense pass priced at HBM
+    bandwidth; gathers from the small camera table and the materialised
+    one-hot masks are priced by their streamed bytes. Round 2's model
+    skipped the coupling-build and gather traffic entirely, which is why
+    its sol%% could not separate physics from fixable layout cost.
     """
     V, M, O, b = n_views, n_points, n_obs, bytes_per_el
+    if ell_rows:
+        O = M * ell_rows  # padded slot count — invalid slots still stream
     flops = O * (300.0 + 360.0)  # assembly + block products
-    bytes_ = b * O * (2 + 2 + 14 + 21 + 49 + 9 + 7 + 3)  # uv,res,J,W,UtU,DtD,b
-    bytes_ += b * M * (9 + 9 + 3)  # D, Dinv, b_p
+    # assemble pass: inputs (cam,uv,valid,C_o,q_o,X_o = 14) + outputs
+    # (DtD 9, W 21, b_p 3) + camera-table gather outputs (C,q = 7)
+    bytes_ = b * O * (14 + 9 + 21 + 3 + 7)
+    # point reductions read DtD/b_p once more; D, Dinv, b_p at point grain
+    bytes_ += b * O * (9 + 3) + b * M * (9 + 9 + 3)
+    if adaptive:
+        # accept-test residual pass re-reads the observation inputs
+        bytes_ += b * O * 14
+        flops += O * 300.0
     if dense_schur:
         flops += M * V * V * (21 * 3 + 21 * 7)  # G Dinv G^T contraction
-        bytes_ += b * (M * V * 21) * 3  # G write + 2 reads
+        if ell_rows:
+            # one-hot (M,T,V) mask write+read for the G matmul, G write+read
+            flops += M * ell_rows * V * 21 * 2.0
+            bytes_ += b * (M * ell_rows * V) * 2 + b * (M * V * 21) * 3
+        else:
+            bytes_ += b * (M * V * 21) * 3  # G scatter write + 2 reads
         flops += ((7 * V) ** 3) / 3.0  # dense solve
     else:
         per_cg = O * (2 * 42 + 2 * 21) + M * 9 + V * 49  # two W einsums, Dinv, U
         flops += pcg_iters * per_cg
-        bytes_ += b * pcg_iters * (O * (21 + 3 + 7) + M * 6)
+        # per CG iter: W read, x gather out, point reduction, y broadcast,
+        # one-hot coupling matmul read
+        bytes_ += b * pcg_iters * (O * (21 + 7 + 3 + 3 + V) + M * 6)
     flops += O * 42 + M * 9  # back-substitution
+    bytes_ += b * O * (21 + 7 + 3) + b * M * 6
     return flops, bytes_
 
 
