@@ -49,6 +49,11 @@ def main() -> int:
     ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--device", choices=["cpu", "tpu"], default="tpu")
     ap.add_argument("--ba-shards", type=int, default=1)
+    ap.add_argument("--global-ba-iters", type=int, default=20)
+    ap.add_argument(
+        "--global-ba-shards", type=int, default=1,
+        help="shard the FINAL whole-trajectory BA over this many devices",
+    )
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--noise", type=float, default=2.0, help="pixel noise sigma")
     ap.add_argument(
@@ -176,6 +181,18 @@ def main() -> int:
     stats = reprojection_stats(engine.state)
     problems = validate_state(engine.state)
 
+    # final GLOBAL bundle adjustment: re-optimize every archived pose +
+    # the live window as one problem (the reference's all-views BA,
+    # ba_processor.py:274-439, applied once at the end) — sharded over the
+    # mesh when --global-ba-shards > 1
+    t_gba = time.time()
+    gba = engine.finalize_global(
+        iterations=args.global_ba_iters, num_shards=args.global_ba_shards
+    )
+    gba_wall = time.time() - t_gba
+    locs_g, _ = engine.poses()
+    ate_after = absolute_trajectory_error(locs_g, gt)
+
     report = {
         "config": "BASELINE configs[3]: mid-size real-imagery sequence, native frontend",
         "frames": args.frames,
@@ -189,6 +206,19 @@ def main() -> int:
         "reprojection_px": {k: round(v, 4) for k, v in stats.items()},
         "ate_vs_golden_loop": round(ate, 4),
         "ate_pct_of_span": round(100 * ate / span, 2),
+        "global_ba": {
+            "iterations": args.global_ba_iters,
+            "num_shards": args.global_ba_shards,
+            "cameras": gba["n_cams"],
+            "points": gba["n_points"],
+            "observations": gba["n_obs"],
+            "cost_first_to_last": [
+                float(gba["costs"][0]), float(gba["costs"][-1])
+            ],
+            "wall_s": round(gba_wall, 1),
+            "ate_after_global_ba": round(ate_after, 4),
+            "ate_after_pct_of_span": round(100 * ate_after / span, 2),
+        },
         "revisit_center_spread_mean": round(float(np.mean(spreads)), 4),
         "live_points": int(engine.state.num_points),
         "archived_poses": len(engine._archive),

@@ -284,8 +284,8 @@ class BatchedIncrementalSfM:
             return v
         if self.config.window_mode != "slide":
             return None
-        self.states, ev_C, ev_q = _evict_batched(self.states)
-        self._archive.append((ev_C, ev_q))
+        self.states, rec = _evict_batched(self.states)
+        self._archive.append((rec.C, rec.q))
         return self._window - 1
 
     def _frame_keys(self, v: int):

@@ -911,8 +911,8 @@ class IncrementalSfM:
             return v
         if self.config.window_mode != "slide":
             return None
-        self.state, ev_C, ev_q = self._jit_evict(self.state)
-        self._archive.append((ev_C, ev_q))
+        self.state, rec = self._jit_evict(self.state)
+        self._archive.append(rec)
         return self._window - 1
 
     def process_image(self, img, K=None) -> dict:
@@ -1044,6 +1044,72 @@ class IncrementalSfM:
         self.state, costs, _ = _ba_stage(self.state, config=cfg)
         return np.asarray(costs)
 
+    def finalize_global(
+        self,
+        iterations: int = 20,
+        num_shards: int = 1,
+        min_obs: int = 2,
+    ) -> dict:
+        """Global bundle adjustment over EVERY camera of the run — the
+        eviction archive plus the live window — reassembled by persistent
+        global point id and solved by the (optionally sharded) Schur-LM
+        engine. This is the whole-trajectory consistency the reference gets
+        by bundle-adjusting all views every frame (``ba_processor.py:
+        274-439``); here it costs one solve at the end instead of O(F) per
+        frame. Updates the archived poses, the live window poses, and the
+        live map in place; returns the problem size and per-iteration
+        costs. No-op shortcut when nothing was ever evicted (the per-frame
+        BA already covers the whole problem — use :meth:`finalize`)."""
+        from structure_from_motion_tpu.models import global_ba
+
+        n_live = min(self._frame, self._window)
+        prob = global_ba.build_global_problem(
+            self.state, self._archive, n_live, min_obs=min_obs
+        )
+        out, costs = global_ba.solve_global(
+            prob, self.config.ba, iterations=iterations, num_shards=num_shards
+        )
+        A = len(self._archive)
+        C = np.asarray(out.C)
+        q = np.asarray(out.q)
+        self._archive = [
+            r._replace(C=jnp.asarray(C[i]), q=jnp.asarray(q[i]))
+            for i, r in enumerate(self._archive)
+        ]
+        self.state = self.state._replace(
+            cam_C=self.state.cam_C.at[:n_live].set(
+                jnp.asarray(C[A : A + n_live])
+            ),
+            cam_q=self.state.cam_q.at[:n_live].set(
+                jnp.asarray(q[A : A + n_live])
+            ),
+        )
+        # refined points back into live map slots (dead/archived points have
+        # no live slot; their refinement lives only in the solved problem)
+        sel = prob.gids[: prob.n_points]
+        live_gid = np.asarray(self.state.pt_gid)
+        j = np.clip(
+            np.searchsorted(sel, np.clip(live_gid, 0, None)),
+            0,
+            max(prob.n_points - 1, 0),
+        )
+        ok = np.logical_and(
+            np.asarray(self.state.pt_valid),
+            np.logical_and(live_gid >= 0, sel[j] == live_gid)
+            if prob.n_points
+            else False,
+        )
+        pts = np.array(np.asarray(self.state.points))
+        pts[ok] = np.asarray(out.X)[: prob.n_points][j[ok]]
+        self.state = self.state._replace(points=jnp.asarray(pts))
+        return {
+            "costs": costs,
+            "n_cams": prob.n_cams,
+            "n_points": prob.n_points,
+            "n_obs": prob.n_obs,
+            "max_track_len": prob.max_track_len,
+        }
+
     def reprojection_error(self) -> float:
         """Mean pixel reprojection error over all observations (one sync)."""
         return float(self._jit_reproj(self.state))
@@ -1056,8 +1122,8 @@ class IncrementalSfM:
         C = np.asarray(self.state.cam_C)[:n]
         R = np.asarray(quat_to_rotation(self.state.cam_q[:n]))
         if self._archive:
-            Ca = np.stack([np.asarray(c) for c, _ in self._archive])
-            qa = jnp.stack([q for _, q in self._archive])
+            Ca = np.stack([np.asarray(r.C) for r in self._archive])
+            qa = jnp.stack([r.q for r in self._archive])
             Ra = np.asarray(quat_to_rotation(qa))
             C = np.concatenate([Ca, C])
             R = np.concatenate([Ra, R])

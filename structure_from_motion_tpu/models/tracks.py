@@ -62,6 +62,16 @@ class SfMState(NamedTuple):
     # "converging" is actually saturation (validate_state flags it).
     dropped_points: Array  # () int32
     dropped_obs: Array  # () int32
+    # persistent global point identity: ``pt_gid[m]`` is the id assigned
+    # when slot m's point was first triangulated, permuted (never renamed)
+    # by compaction and eviction, -1 for invalid slots. This is what lets a
+    # sliding-window run reassemble a GLOBAL bundle-adjustment problem at
+    # the end (finalize_global): observations archived at eviction and the
+    # live store refer to the same physical point iff their gids match.
+    # The reference has no analogue — it never evicts (its filter_size just
+    # stops processing, ba_processor.py:44-46).
+    pt_gid: Array  # (M,) int32
+    next_gid: Array  # () int32
     # PER-VIEW intrinsics, row v = K of the view in slot v. The reference's
     # View struct stores its own k per image (view_processor.py:14-98 and
     # BaProcessor.process(img, k) takes k per frame) even though its own
@@ -93,6 +103,8 @@ def init_state(cap: CapacityConfig, K: Array, desc_dim: int = 128, dtype=jnp.flo
         num_obs=jnp.asarray(0, jnp.int32),
         dropped_points=jnp.asarray(0, jnp.int32),
         dropped_obs=jnp.asarray(0, jnp.int32),
+        pt_gid=jnp.full((M,), -1, jnp.int32),
+        next_gid=jnp.asarray(0, jnp.int32),
         K=jnp.broadcast_to(jnp.asarray(K, dtype), (V, 3, 3)),
     )
 
@@ -163,11 +175,18 @@ def allocate_points(state: SfMState, X: Array, mask: Array):
     dest = jnp.where(stored, ids, M)
     points = state.points.at[dest].set(jnp.asarray(X, state.points.dtype), mode="drop")
     pt_valid = state.pt_valid.at[dest].set(stored, mode="drop")
+    # global ids: every masked candidate consumes one id (dropped candidates
+    # burn theirs — ids only need to be unique and stable, not dense)
+    pt_gid = state.pt_gid.at[dest].set(
+        (state.next_gid + ranks).astype(jnp.int32), mode="drop"
+    )
     n_new = jnp.sum(mask, dtype=jnp.int32)
     kept = jnp.sum(stored, dtype=jnp.int32)
     state = state._replace(
         points=points,
         pt_valid=pt_valid,
+        pt_gid=pt_gid,
+        next_gid=(state.next_gid + n_new).astype(jnp.int32),
         num_points=jnp.minimum(state.num_points + n_new, M).astype(jnp.int32),
         dropped_points=(state.dropped_points + n_new - kept).astype(jnp.int32),
     )
@@ -258,6 +277,9 @@ def compact_state(state: SfMState) -> SfMState:
         state.points, mode="drop"
     )
     pt_valid_c = jnp.zeros_like(pt_valid).at[dest_pt].set(pt_valid, mode="drop")
+    pt_gid_c = jnp.full_like(state.pt_gid, -1).at[dest_pt].set(
+        state.pt_gid, mode="drop"
+    )
     remap = jnp.where(pt_valid, new_id, -1)  # (M,) old -> new or -1
 
     safe_tri = jnp.maximum(state.tri_index, 0)
@@ -283,6 +305,7 @@ def compact_state(state: SfMState) -> SfMState:
         tri_index=tri_index,
         points=points,
         pt_valid=pt_valid_c,
+        pt_gid=pt_gid_c,
         num_points=n_pts,
         obs_cam=obs_cam_c,
         obs_pt=obs_pt_c,
@@ -290,6 +313,25 @@ def compact_state(state: SfMState) -> SfMState:
         obs_valid=obs_valid_c,
         num_obs=n_obs,
     )
+
+
+class EvictionRecord(NamedTuple):
+    """Everything :func:`evict_oldest_view` preserves about the dropped
+    view, enough to rebuild a GLOBAL bundle-adjustment problem later
+    (``IncrementalSfM.finalize_global``): the pose, the view's intrinsics,
+    and its observations keyed by persistent global point id (``pt_gid``)
+    together with each observed point's position at eviction time (the
+    seed for points that die before the end of the run). Fixed shape
+    (keypoint capacity), jit-safe. The reference never needs this — it BAs
+    all views every frame and never evicts (``ba_processor.py:274-439``)."""
+
+    C: Array  # (3,)
+    q: Array  # (4,)
+    K: Array  # (3, 3)
+    gid: Array  # (Kk,) int32 global point id per observation (-1 empty)
+    uv: Array  # (Kk, 2) pixel coordinates in the evicted view
+    X: Array  # (Kk, 3) observed point's position at eviction
+    valid: Array  # (Kk,) bool
 
 
 def evict_oldest_view(state: SfMState):
@@ -300,8 +342,7 @@ def evict_oldest_view(state: SfMState):
     Shifting (rather than ring-buffer slot reuse) preserves the "prior
     views have smaller indices" invariant every stage relies on.
 
-    Returns (state, evicted_C (3,), evicted_q (4,)). All compaction is
-    jittable:
+    Returns (state, :class:`EvictionRecord`). All compaction is jittable:
       * view rows shift; last row cleared,
       * observations of the evicted view are dropped and the store is
         compacted to the front (stable),
@@ -310,7 +351,29 @@ def evict_oldest_view(state: SfMState):
     """
     V, Kk = state.tri_index.shape
     M = state.points.shape[0]
-    ev_C, ev_q = state.cam_C[0], state.cam_q[0]
+
+    # archive the evicted view's observations before they are dropped: at
+    # most one observation per (view, point) pair and the view has at most
+    # Kk triangulated keys, so a (Kk,) table always fits
+    ev_mask = jnp.logical_and(state.obs_valid, state.obs_cam == 0)
+    ev_rank = jnp.cumsum(ev_mask.astype(jnp.int32)) - 1
+    ev_dst = jnp.where(ev_mask, jnp.minimum(ev_rank, Kk), Kk)  # Kk drops
+    pt = state.obs_pt
+    rec = EvictionRecord(
+        C=state.cam_C[0],
+        q=state.cam_q[0],
+        K=state.K[0],
+        gid=jnp.full((Kk,), -1, jnp.int32).at[ev_dst].set(
+            state.pt_gid[pt], mode="drop"
+        ),
+        uv=jnp.zeros((Kk, 2), state.obs_uv.dtype).at[ev_dst].set(
+            state.obs_uv, mode="drop"
+        ),
+        X=jnp.zeros((Kk, 3), state.points.dtype).at[ev_dst].set(
+            state.points[pt], mode="drop"
+        ),
+        valid=jnp.zeros((Kk,), bool).at[ev_dst].set(ev_mask, mode="drop"),
+    )
 
     def shift0(x, fill):
         return jnp.concatenate(
@@ -359,7 +422,7 @@ def evict_oldest_view(state: SfMState):
         obs_valid=keep_obs,
         K=K_rows,
     )
-    return compact_state(state), ev_C, ev_q
+    return compact_state(state), rec
 
 
 def prune_observations(state: SfMState, max_err_px: float):

@@ -68,10 +68,14 @@ def _register_serialization() -> None:
         return
     from jax import export as jexport
 
-    from structure_from_motion_tpu.models.tracks import SfMState
+    from structure_from_motion_tpu.models.tracks import EvictionRecord, SfMState
 
     jexport.register_namedtuple_serialization(
         SfMState, serialized_name="structure_from_motion_tpu.SfMState"
+    )
+    jexport.register_namedtuple_serialization(
+        EvictionRecord,
+        serialized_name="structure_from_motion_tpu.EvictionRecord",
     )
     _serialization_registered = True
 

@@ -33,11 +33,15 @@ def save_state(
     keyframe-selection gate, so a resumed run keeps the exact accepted-input
     bookkeeping (input-file <-> view alignment).
     """
+    from structure_from_motion_tpu.models.tracks import EvictionRecord
+
     arrays = {f: np.asarray(getattr(state, f)) for f in state._fields}
     arrays["__frame"] = np.asarray(frame)
     if archive:
-        arrays["__archive_C"] = np.stack([np.asarray(c) for c, _ in archive])
-        arrays["__archive_q"] = np.stack([np.asarray(q) for _, q in archive])
+        for f in EvictionRecord._fields:
+            arrays[f"__archive_{f}"] = np.stack(
+                [np.asarray(getattr(r, f)) for r in archive]
+            )
     if keyframes is not None:
         indices, next_input = keyframes
         arrays["__keyframe_indices"] = np.asarray(indices, np.int64)
@@ -77,11 +81,46 @@ def load_state(path: str) -> tuple[SfMState, int, list, tuple]:
             # broadcast to the (V, 3, 3) schema
             V = fields["kp_xy"].shape[0]
             fields["K"] = jnp.broadcast_to(fields["K"], (V, 3, 3))
+        # pre-pt_gid checkpoint: synthesise fresh (unique, stable-from-here)
+        # global ids for the live points; the old archive carries no
+        # observations anyway, so cross-eviction identity is unrecoverable
+        if "pt_gid" not in data:
+            M = fields["points"].shape[0]
+            fields["pt_gid"] = jnp.where(
+                fields["pt_valid"], jnp.arange(M, dtype=jnp.int32), -1
+            )
+            fields["next_gid"] = jnp.asarray(M, jnp.int32)
         archive = []
         if "__archive_C" in data:
+            from structure_from_motion_tpu.models.tracks import EvictionRecord
+
             aC = jnp.asarray(data["__archive_C"])
             aq = jnp.asarray(data["__archive_q"])
-            archive = [(aC[i], aq[i]) for i in range(aC.shape[0])]
+            n, Kk = aC.shape[0], fields["kp_xy"].shape[1]
+            dt = aC.dtype
+
+            def rec_field(f, i, empty_shape, fill):
+                key = f"__archive_{f}"
+                if key in data:
+                    return jnp.asarray(data[key][i])
+                return jnp.full(empty_shape, fill, dt) if fill == 0.0 else (
+                    jnp.full(empty_shape, fill, jnp.int32)
+                )
+
+            archive = [
+                EvictionRecord(
+                    C=aC[i],
+                    q=aq[i],
+                    K=rec_field("K", i, (3, 3), 0.0),
+                    gid=rec_field("gid", i, (Kk,), -1),
+                    uv=rec_field("uv", i, (Kk, 2), 0.0),
+                    X=rec_field("X", i, (Kk, 3), 0.0),
+                    valid=jnp.asarray(data["__archive_valid"][i])
+                    if "__archive_valid" in data
+                    else jnp.zeros((Kk,), bool),
+                )
+                for i in range(n)
+            ]
         if "__keyframe_indices" in data:
             keyframes = (
                 [int(i) for i in data["__keyframe_indices"]],

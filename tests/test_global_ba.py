@@ -1,0 +1,163 @@
+"""Final global bundle adjustment over a sliding-window run.
+
+The reference bundle-adjusts all views every frame (ba_processor.py:274-439);
+our sliding window freezes poses at eviction and ``finalize_global`` restores
+whole-trajectory consistency once at the end from the eviction archive +
+persistent global point ids. These tests cover the identity plumbing
+(pt_gid through allocation/compaction/eviction), the archived observation
+records, the reassembled problem, and the end-to-end quality effect."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from structure_from_motion_tpu.config import CapacityConfig
+from structure_from_motion_tpu.models import IncrementalSfM, tracks
+from structure_from_motion_tpu.models.global_ba import build_global_problem
+from tests.test_incremental import (
+    pipeline_config,  # noqa: F401  (fixture)
+    synthetic_sequence,
+    umeyama_ate,
+)
+
+
+def _small_state(cap_v=3, cap_k=8, cap_m=16, cap_o=32):
+    cap = CapacityConfig(
+        max_views=cap_v, max_keypoints=cap_k, max_points=cap_m, max_observations=cap_o
+    )
+    K = jnp.asarray([[100.0, 0, 50.0], [0, 100.0, 40.0], [0, 0, 1.0]])
+    return tracks.init_state(cap, K)
+
+
+def test_gid_assignment_and_compaction_stability():
+    """Global ids are assigned at allocation, survive compaction unchanged,
+    and die with their point."""
+    st = _small_state()
+    X = jnp.arange(12.0).reshape(4, 3)
+    st, ids, stored = tracks.allocate_points(st, X, jnp.ones(4, bool))
+    assert bool(stored.all())
+    gids0 = np.asarray(st.pt_gid)[np.asarray(ids)]
+    assert sorted(gids0.tolist()) == [0, 1, 2, 3]
+    assert int(st.next_gid) == 4
+
+    # kill point id 1, compact: survivors keep their gid, slots move
+    st = st._replace(pt_valid=st.pt_valid.at[ids[1]].set(False))
+    st = tracks.compact_state(st)
+    live = np.asarray(st.pt_gid)[np.asarray(st.pt_valid)]
+    assert sorted(live.tolist()) == [0, 2, 3]
+    # a fresh allocation continues the id sequence (no reuse)
+    st, ids2, _ = tracks.allocate_points(st, X[:1], jnp.ones(1, bool))
+    assert int(np.asarray(st.pt_gid)[int(ids2[0])]) == 4
+
+
+def test_eviction_record_observations():
+    """evict_oldest_view must archive the evicted view's observations
+    (gid, pixel uv, point position) before dropping them."""
+    st = _small_state()
+    st = tracks.set_camera(st, 0, jnp.asarray([1.0, 2, 3]), jnp.asarray([1.0, 0, 0, 0]))
+    X = jnp.asarray([[0.0, 0, 10], [1.0, 0, 10], [2.0, 0, 10]])
+    st, ids, _ = tracks.allocate_points(st, X, jnp.ones(3, bool))
+    # view 0 observes points 0, 2; view 1 observes all three (points with a
+    # single remaining observation die at eviction — gid 0/2 survive via v1)
+    st = tracks.append_observations(
+        st,
+        cam=jnp.asarray([0, 0, 1, 1, 1]),
+        point=jnp.asarray([ids[0], ids[2], ids[0], ids[1], ids[2]]),
+        uv=jnp.asarray([[5.0, 6], [7.0, 8], [1.0, 1], [2.0, 2], [3.0, 3]]),
+        mask=jnp.ones(5, bool),
+    )
+    st2, rec = tracks.evict_oldest_view(st)
+    v = np.asarray(rec.valid)
+    assert int(v.sum()) == 2
+    assert np.allclose(np.asarray(rec.C), [1.0, 2, 3])
+    got = {
+        int(g): (uv.tolist(), x.tolist())
+        for g, uv, x in zip(
+            np.asarray(rec.gid)[v], np.asarray(rec.uv)[v], np.asarray(rec.X)[v]
+        )
+    }
+    assert got == {
+        0: ([5.0, 6.0], [0.0, 0.0, 10.0]),
+        2: ([7.0, 8.0], [2.0, 0.0, 10.0]),
+    }
+    # intrinsics of the evicted view archived alongside
+    assert np.allclose(np.asarray(rec.K), np.asarray(st.K[0]))
+    # the live store no longer holds view-0 observations, and gids survive
+    assert int(jnp.sum(st2.obs_valid)) == 3
+    live_gids = np.asarray(st2.pt_gid)[np.asarray(st2.pt_valid)]
+    assert sorted(live_gids.tolist()) == [0, 1, 2]
+
+
+def _run_slide(pipeline_config, n_frames=12, window=6, noise=0.4, seed=2):
+    K, frames, C_gt, R_gt, X_gt = synthetic_sequence(
+        n_views=n_frames, n_points=300, seed=seed, noise=noise
+    )
+    cfg = dataclasses.replace(
+        pipeline_config, window_size=window, window_mode="slide"
+    )
+    engine = IncrementalSfM(cfg, K, frontend="precomputed")
+    for f in frames:
+        engine.process_features(*f)
+    return engine, C_gt
+
+
+def test_build_global_problem_shapes(pipeline_config):
+    engine, _ = _run_slide(pipeline_config)
+    n_live = min(engine._frame, engine._window)
+    prob = build_global_problem(engine.state, engine._archive, n_live)
+    assert prob.n_cams == 12
+    assert prob.state.C.shape[0] == 12
+    assert prob.n_points > 0 and prob.n_obs > 0
+    assert prob.max_track_len >= 2
+    # every kept observation references a real point row and a real camera
+    v = np.asarray(prob.obs.valid)
+    assert np.asarray(prob.obs.point)[v].max() < prob.n_points
+    assert np.asarray(prob.obs.cam)[v].max() < prob.n_cams
+    # gid table: unique real ids, -1 padding
+    g = prob.gids
+    assert (g[: prob.n_points] >= 0).all()
+    assert (g[prob.n_points :] == -1).all()
+    assert np.unique(g[: prob.n_points]).size == prob.n_points
+    # archived cameras contribute observations (not just the live window)
+    assert (np.asarray(prob.obs.cam)[v] < len(engine._archive)).any()
+
+
+def test_finalize_global_improves_trajectory(pipeline_config):
+    """With pixel noise, the drifted archived poses must improve (or at
+    minimum not regress) when the whole trajectory is re-optimized, and the
+    refined poses flow back into poses()."""
+    engine, C_gt = _run_slide(pipeline_config, noise=0.4)
+    locs_before, _ = engine.poses()
+    ate_before = umeyama_ate(locs_before, C_gt)
+
+    info = engine.finalize_global(iterations=15)
+    assert info["n_cams"] == 12
+    costs = info["costs"]
+    assert costs[-1] <= costs[0] * 0.95  # the solve actually moved
+
+    locs_after, rots_after = engine.poses()
+    assert locs_after.shape == locs_before.shape
+    assert not np.allclose(locs_after, locs_before)  # archive was updated
+    ate_after = umeyama_ate(locs_after, C_gt)
+    assert ate_after <= ate_before * 1.05 + 1e-6, (ate_before, ate_after)
+    # rotations stay orthonormal after the quaternion updates
+    eye = np.einsum("fij,fkj->fik", rots_after, rots_after)
+    assert np.allclose(eye, np.eye(3)[None], atol=1e-5)
+
+
+def test_finalize_global_sharded_parity(pipeline_config):
+    """num_shards=4 must reproduce the single-device global solve (same
+    reassembled problem, psum'd reduced system)."""
+    engine1, _ = _run_slide(pipeline_config, noise=0.3, seed=5)
+    engine2, _ = _run_slide(pipeline_config, noise=0.3, seed=5)
+    info1 = engine1.finalize_global(iterations=8, num_shards=1)
+    info2 = engine2.finalize_global(iterations=8, num_shards=4)
+    assert info1["n_obs"] == info2["n_obs"]
+    np.testing.assert_allclose(
+        info1["costs"], info2["costs"], rtol=5e-4, atol=1e-7
+    )
+    l1, _ = engine1.poses()
+    l2, _ = engine2.poses()
+    np.testing.assert_allclose(l1, l2, rtol=1e-3, atol=5e-4)
