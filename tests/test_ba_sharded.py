@@ -6,6 +6,7 @@ order tolerance."""
 
 import numpy as np
 import jax
+import pytest
 import jax.numpy as jnp
 
 from structure_from_motion_tpu.config import BAConfig
@@ -250,3 +251,72 @@ def test_sharded_pcg_matches_single_device():
     assert float(total_reprojection_cost(out_shard, obs)) < 1e-3 * float(
         total_reprojection_cost(noisy, obs)
     )
+
+
+@pytest.mark.slow
+def test_scale_sharded_pcg_parity_8k_points():
+    """Scale-grade shard parity (VERDICT r2 item 5): 256 cameras / 8192
+    points / ~52k power-law observations — large enough that the PCG
+    large-V path runs UNDER psum on all 8 devices, with hot points
+    stressing the interleaved partition. Asserts (a) single-device vs
+    8-device cost-trajectory and camera parity, (b) the ELL packed layout
+    reproduces the CSR stream at this scale on a single device."""
+    import __graft_entry__ as ge
+
+    clean, obs = ge._synthetic_ba_problem(
+        n_views=256, n_points=8192, cap_v=256, cap_m=8192, cap_o=65536,
+        seed=11, powerlaw=True,
+    )
+    # start from the clean synthetic state: its 1e-3 observation noise
+    # already makes the problem nontrivial, and at this scale a pose
+    # perturbation would need its own convergence study
+    base = dict(
+        iterations=4, damping=5.0, fix_first_camera_gauge=True,
+        pcg_fallback_cameras=64, pcg_iterations=96,
+    )
+    csr_cfg = BAConfig(obs_layout="csr", **base)
+    counts = np.bincount(
+        np.asarray(obs.point)[np.asarray(obs.valid)], minlength=8192
+    )
+    ell_cfg = BAConfig(ell_rows=int(counts.max()), **base)
+
+    out_csr, costs_csr = run_bundle_adjustment(clean, obs, csr_cfg)
+    out_ell, costs_ell = run_bundle_adjustment(clean, obs, ell_cfg)
+    # (b) layout equivalence: same math, different packing
+    # f32 state: differences are pure reduction order (~1e-7 relative)
+    np.testing.assert_allclose(
+        np.asarray(costs_ell), np.asarray(costs_csr), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_ell.C), np.asarray(out_csr.C), atol=5e-4
+    )
+
+    # (a) 8-device sharded PCG vs single device
+    mesh = make_mesh(8)
+    part = partition_observations(
+        obs, num_points=8192, num_shards=8, per_shard_capacity=12288,
+        interleave=True,
+    )
+    assert int(part.valid.sum()) == int(obs.valid.sum())  # no bucket overflow
+    from structure_from_motion_tpu.parallel import (
+        deinterleave_points,
+        interleave_points,
+    )
+
+    st_p = clean._replace(
+        X=interleave_points(clean.X, 8),
+        pt_valid=interleave_points(clean.pt_valid, 8),
+    )
+    out_shard, costs_shard = sharded_bundle_adjustment(st_p, part, csr_cfg, mesh)
+    out_shard = out_shard._replace(X=deinterleave_points(out_shard.X, 8))
+    np.testing.assert_allclose(
+        np.asarray(costs_shard), np.asarray(costs_csr), rtol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_shard.C), np.asarray(out_csr.C), atol=5e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_shard.X)[:8192], np.asarray(out_csr.X)[:8192], atol=5e-4
+    )
+    # the solve made progress (not a no-op parity)
+    assert float(costs_csr[-1]) < float(costs_csr[0])
