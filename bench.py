@@ -266,6 +266,45 @@ def bench_pipeline():
     int(bench_b.states.num_points[0])
     dt_b = time.perf_counter() - t0
 
+    # ---- batched SMALL sequences: the engine's actual value case ---------
+    # (models/batched.py docstring): many small problems leave the chip
+    # idle per dispatch, so lockstep lanes amortise the ~30 ms host round
+    # trip. 320x240 frames, 256 kp, small capacities; B=8 lanes vs the
+    # same config single-sequence.
+    cfg_s = PipelineConfig(
+        frontend=FrontendConfig(max_keypoints=256, num_octaves=3),
+        matcher=MatcherConfig(ratio=0.8),
+        capacity=CapacityConfig(
+            max_views=8, max_keypoints=256, max_points=2048,
+            max_observations=8192,
+        ),
+    )
+    K_s = np.asarray(K) / 4.0
+    K_s[2, 2] = 1.0
+    imgs_s = [im[::4, ::4] for im in imgs]
+    warm_s = IncrementalSfM(cfg_s, K_s, frontend="native", collect_metrics=False)
+    for im in imgs_s:
+        warm_s.process_image(im)
+    int(warm_s.state.num_points)
+    one_s = IncrementalSfM(cfg_s, K_s, frontend="native", collect_metrics=False)
+    t0 = time.perf_counter()
+    for im in imgs_s:
+        one_s.process_image(im)
+    int(one_s.state.num_points)
+    dt_small_1 = time.perf_counter() - t0
+
+    small_batches = [np.stack([im] * B) for im in imgs_s]
+    warm_bs = BatchedIncrementalSfM(cfg_s, K_s, batch=B, frontend="native")
+    for fb in small_batches:
+        warm_bs.process_images(fb)
+    int(warm_bs.states.num_points[0])
+    bench_bs = BatchedIncrementalSfM(cfg_s, K_s, batch=B, frontend="native")
+    t0 = time.perf_counter()
+    for fb in small_batches:
+        bench_bs.process_images(fb)
+    int(bench_bs.states.num_points[0])
+    dt_small_b = time.perf_counter() - t0
+
     # ---- quality config: 2x first octave + the production-default matcher
     # (ratio 0.75, fundamental gate) + a 10-iteration final BA polish — the
     # accuracy configuration, untimed
@@ -302,6 +341,13 @@ def bench_pipeline():
         "single_seq_frames_per_s": round(len(imgs) / seq_latency, 4),
         "batch": B,
         "batch_aggregate_frames_per_s": round(B * len(imgs) / dt_b, 4),
+        "small_seq_frames_per_s": round(len(imgs_s) / dt_small_1, 4),
+        "small_seq_batch8_aggregate_frames_per_s": round(
+            B * len(imgs_s) / dt_small_b, 4
+        ),
+        "batch_note": "production shapes saturate the chip (B=8 aggregate "
+        "< 1x single); small-sequence lanes amortise dispatch latency "
+        "(aggregate / single = the engine's value case)",
         "reprojection_px_1024kp": round(reproj_thr, 4),
         "reprojection_px_1024kp_seeds": [round(e, 3) for e in errs_thr],
         "reprojection_px_1024kp_upsampled": round(reproj_upsampled, 4),

@@ -86,7 +86,7 @@ def main():
             st, si = I._localize_stage(st, vv, k_stage, config=cfg)
             if stage == 2:
                 return scalarize(st) + scalarize(si)
-            st, costs, dropped = I._ba_stage(st, config=cfg)
+            st, costs, dropped, _, _ = I._ba_stage(st, config=cfg)
             if stage == 3:
                 return scalarize(st) + costs.sum()
             return scalarize(st) + I.pipeline_reprojection_error(st)

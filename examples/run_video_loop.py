@@ -49,6 +49,12 @@ def main() -> int:
     ap.add_argument("--window", type=int, default=8)
     ap.add_argument("--device", choices=["cpu", "tpu"], default="tpu")
     ap.add_argument("--ba-shards", type=int, default=1)
+    ap.add_argument(
+        "--save-state", default="",
+        help="checkpoint the engine (pre-global-BA) to this path, so the "
+        "same reassembled problem can be re-solved elsewhere (e.g. the "
+        "8-device CPU mesh via examples/run_global_ba_mesh.py)",
+    )
     ap.add_argument("--global-ba-iters", type=int, default=20)
     ap.add_argument(
         "--global-ba-shards", type=int, default=1,
@@ -180,6 +186,10 @@ def main() -> int:
             spreads.append(float(np.linalg.norm(visits - visits.mean(0), axis=1).mean()))
     stats = reprojection_stats(engine.state)
     problems = validate_state(engine.state)
+
+    if args.save_state:
+        engine.save_checkpoint(args.save_state)
+        print(f"pre-global-BA checkpoint -> {args.save_state}")
 
     # final GLOBAL bundle adjustment: re-optimize every archived pose +
     # the live window as one problem (the reference's all-views BA,

@@ -178,8 +178,11 @@ def cmd_reconstruct(args) -> int:
             accepted_names.append(os.path.basename(path))
         msg = "  ".join(
             f"{k}={info[k]}"
-            for k in ("frame", "matches", "pnp_inliers", "new_points", "reprojection_px")
-            if k in info
+            for k in (
+                "frame", "matches", "pnp_inliers", "new_points",
+                "pruned_obs", "pruned_points", "reprojection_px",
+            )
+            if k in info and (k not in ("pruned_obs", "pruned_points") or info[k])
         )
         print(f"{os.path.basename(path)}: {time.time() - t1:.2f}s  {msg}")
         n_drop = int(info.get("dropped_points", 0)) + int(info.get("dropped_obs", 0))

@@ -171,11 +171,11 @@ def _batched_step_impl(states, v, keys, xy, desc, valid, config):
 
                 return branch
 
-            sts, costs, ba_dropped = jax.lax.switch(
+            sts, costs, ba_dropped, pruned_o, pruned_p = jax.lax.switch(
                 idx, [mk_ba(L) for L in range(len(ba_ladder))], sts
             )
         else:
-            sts, costs, ba_dropped = jax.vmap(
+            sts, costs, ba_dropped, pruned_o, pruned_p = jax.vmap(
                 lambda s: _ba_stage(s, config=config)
             )(sts)
 
@@ -187,6 +187,8 @@ def _batched_step_impl(states, v, keys, xy, desc, valid, config):
             new_points=si["new_points"].astype(jnp.int32),
             ba_costs=costs,
             ba_dropped_obs=ba_dropped,
+            pruned_obs=pruned_o,
+            pruned_points=pruned_p,
         )
         return sts, info
 

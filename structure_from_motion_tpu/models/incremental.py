@@ -646,11 +646,13 @@ def _ba_stage(
     else:
         out, costs = run_bundle_adjustment(ba_state, full_obs(state), config.ba)
         state = state._replace(cam_C=out.C, cam_q=out.q, points=out.X)
+    pruned_obs = jnp.asarray(0, jnp.int32)
+    pruned_pts = jnp.asarray(0, jnp.int32)
     if config.prune_max_error_px > 0:
-        state, _, _ = tracks.prune_observations(
+        state, pruned_obs, pruned_pts = tracks.prune_observations(
             state, config.prune_max_error_px
         )
-    return state, costs, dropped
+    return state, costs, dropped, pruned_obs.astype(jnp.int32), pruned_pts.astype(jnp.int32)
 
 
 def pipeline_reprojection_error(state: SfMState) -> Array:
@@ -689,6 +691,8 @@ def _zero_info(state: SfMState, config: PipelineConfig) -> dict:
         "new_points": i32,
         "ba_costs": jnp.zeros((config.ba.iterations,), state.points.dtype),
         "ba_dropped_obs": i32,
+        "pruned_obs": i32,
+        "pruned_points": i32,
     }
 
 
@@ -736,7 +740,7 @@ def _frame_step(
 
     def frame_n(st, k):
         st, si = _localize_stage(st, v, k, config=config)
-        st, costs, ba_dropped = _ba_stage(st, config=config)
+        st, costs, ba_dropped, pruned_o, pruned_p = _ba_stage(st, config=config)
         info = _zero_info(st, config)
         info.update(
             matches=si["matches"].astype(jnp.int32),
@@ -745,6 +749,8 @@ def _frame_step(
             new_points=si["new_points"].astype(jnp.int32),
             ba_costs=costs,
             ba_dropped_obs=ba_dropped,
+            pruned_obs=pruned_o,
+            pruned_points=pruned_p,
         )
         return st, info
 
@@ -1041,7 +1047,7 @@ class IncrementalSfM:
             self.config,
             ba=dataclasses.replace(self.config.ba, iterations=iterations),
         )
-        self.state, costs, _ = _ba_stage(self.state, config=cfg)
+        self.state, costs, _, _, _ = _ba_stage(self.state, config=cfg)
         return np.asarray(costs)
 
     def finalize_global(

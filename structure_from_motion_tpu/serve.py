@@ -257,7 +257,7 @@ class ServedSfM:
             raise ValueError(
                 "the exported finalize program is baked at 10 iterations"
             )
-        self._inner.state, costs, _ = self._finalize_call(self._inner.state)
+        self._inner.state, costs, _, _, _ = self._finalize_call(self._inner.state)
         return np.asarray(costs)
 
 

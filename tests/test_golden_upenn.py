@@ -169,6 +169,11 @@ def test_upenn_trajectory_matches_golden(reference_dataset_path, sift_frames):
     assert len(engine.map_points()) > 300
     # the trajectory must actually progress (not collapse to a cluster)
     assert np.linalg.norm(locs[-1] - locs[0]) > 0.3 * span
+    # a healthy golden run never saturates its capacities: zero silent
+    # drops (VERDICT r2 item 10 — saturation must be loudly visible)
+    assert int(info["dropped_points"]) == 0, info
+    assert int(info["dropped_obs"]) == 0, info
+    assert int(info["ba_dropped_obs"]) == 0, info
 
 
 def test_upenn_binary_frontend_e2e(reference_dataset_path):
