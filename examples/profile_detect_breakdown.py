@@ -1,0 +1,182 @@
+"""Per-stage wall breakdown of the DoG detect+describe program on the
+current device (VERDICT r2 item 3: detect is ~30 ms on-chip at 1024 kp /
+1280x960 — the biggest slice of the 67 ms frame — target <= 15 ms).
+
+Times CUMULATIVE prefixes of the pipeline as separate jitted programs
+(fetch-barriered, warm cache), so stage costs are adjacent differences and
+each number includes exactly the same upstream work its successor sees:
+
+    pyramid      gaussian stacks for all octaves (grouped-conv blurs)
+    +extrema     dog diff + 3x3x3 extrema + contrast/edge/border masks
+    +topk        per-octave top-k + cross-octave merge
+    +subpixel    3-D (x, y, sigma) subpixel fit of the winners
+    full         + orientation histograms, duplication re-rank, descriptors
+
+Run on the real TPU:
+    python examples/profile_detect_breakdown.py --max-kp 1024 \
+        --out DETECT_PROFILE_r03.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-kp", type=int, default=1024)
+    ap.add_argument("--upsample", action="store_true")
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from structure_from_motion_tpu.config import FrontendConfig
+    from structure_from_motion_tpu.io import load_image_grayscale
+    from structure_from_motion_tpu.ops import features as F
+
+    cfg = FrontendConfig(
+        max_keypoints=args.max_kp,
+        upsample_first_octave=args.upsample,
+        num_octaves=5 if args.upsample else 4,
+    )
+    img = load_image_grayscale(
+        "/root/reference/test_dataset/upenn/image0000001.bmp"
+    )
+    img = jnp.asarray(np.asarray(img), jnp.float32)
+
+    S = cfg.scales_per_octave
+    n_levels = S + 3
+    k_per = 2.0 ** (1.0 / S)
+    sigmas = [cfg.sigma0 * (k_per**i) for i in range(n_levels)]
+    rel_sigmas = [
+        math.sqrt(max(sigmas[i] ** 2 - sigmas[0] ** 2, 1e-6))
+        for i in range(1, n_levels)
+    ]
+
+    def pyramid(im):
+        im = im / jnp.maximum(jnp.max(im), 1e-6)
+        base = F._blur(im, cfg.sigma0, cfg.blur_impl)
+        octs = []
+        for _ in range(cfg.num_octaves):
+            g = F._blur_levels(base, rel_sigmas, cfg.blur_impl)
+            octs.append(g)
+            base = F._downsample2(g[S])
+        return octs
+
+    def stage_pyramid(im):
+        octs = pyramid(im)
+        return sum(jnp.sum(g[-1, ::64, ::64]) for g in octs)
+
+    def stage_extrema(im):
+        octs = pyramid(im)
+        acc = 0.0
+        for g in octs:
+            dog = g[1:] - g[:-1]
+            ext = F._local_extrema(dog)
+            cok = jnp.abs(dog[1:-1]) > cfg.contrast_threshold
+            eok = jnp.stack(
+                [
+                    F._edge_response_ok(dog[1 + s], cfg.edge_threshold)
+                    for s in range(dog.shape[0] - 2)
+                ]
+            )
+            acc = acc + jnp.sum(ext & cok & eok)
+        return acc
+
+    def candidates(im):
+        octs = pyramid(im)
+        outs = [F._octave_candidates(g, cfg, cfg.max_keypoints) for g in octs]
+        return octs, outs
+
+    def stage_topk(im):
+        _, outs = candidates(im)
+        resp = jnp.concatenate([o[4] for o in outs])
+        ok = jnp.concatenate([o[5] for o in outs])
+        score = jnp.where(ok, resp, -1.0)
+        top, idx = jax.lax.top_k(score, cfg.max_keypoints)
+        return jnp.sum(top) + jnp.sum(idx[:4])
+
+    def stage_subpixel(im):
+        octs, outs = candidates(im)
+        dog_octs = [o[0] for o in outs]
+        xi = jnp.concatenate([o[1] for o in outs])
+        yi = jnp.concatenate([o[2] for o in outs])
+        s_idx = jnp.concatenate([o[3] for o in outs])
+        resp = jnp.concatenate([o[4] for o in outs])
+        ok = jnp.concatenate([o[5] for o in outs])
+        oct_idx = jnp.concatenate(
+            [
+                jnp.full((cfg.max_keypoints,), o, jnp.int32)
+                for o in range(cfg.num_octaves)
+            ]
+        )
+        score = jnp.where(ok, resp, -1.0)
+        top, idx = jax.lax.top_k(score, cfg.max_keypoints)
+        xi, yi = xi[idx], yi[idx]
+        s_sel, oct_sel = s_idx[idx], oct_idx[idx]
+        dog_flat = jnp.concatenate([d.reshape(-1) for d in dog_octs])
+        dsz = [d.shape[1] * d.shape[2] for d in dog_octs]
+        dbs = np.cumsum([0] + [d.size for d in dog_octs])[:-1]
+        ob = jnp.asarray(dbs, jnp.int32)[oct_sel]
+        oh = jnp.asarray([d.shape[1] for d in dog_octs], jnp.int32)[oct_sel]
+        ow = jnp.asarray([d.shape[2] for d in dog_octs], jnp.int32)[oct_sel]
+        ohw = jnp.asarray(dsz, jnp.int32)[oct_sel]
+        ox, oy, so, mx, my, ms = F._subpixel_offset_3d(
+            dog_flat, ob, oh, ow, ohw, S, s_sel, yi, xi
+        )
+        return jnp.sum(ox) + jnp.sum(oy) + jnp.sum(so)
+
+    def stage_full(im):
+        kps, desc = F.detect_and_describe(im, cfg)
+        return jnp.sum(kps.xy) + jnp.sum(desc[:2])
+
+    stages = [
+        ("pyramid", stage_pyramid),
+        ("+extrema", stage_extrema),
+        ("+topk", stage_topk),
+        ("+subpixel", stage_subpixel),
+        ("full", stage_full),
+    ]
+    out = {
+        "device": jax.default_backend(),
+        "image": [int(img.shape[0]), int(img.shape[1])],
+        "max_keypoints": args.max_kp,
+        "upsample_first_octave": bool(args.upsample),
+        "reps": args.reps,
+    }
+    prev = 0.0
+    for name, fn in stages:
+        j = jax.jit(fn)
+        float(j(img))  # compile + warm
+        float(j(img))
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            v = j(img)
+        float(v)
+        dt = (time.perf_counter() - t0) / args.reps * 1e3
+        out[f"{name}_ms"] = round(dt, 3)
+        out[f"{name}_delta_ms"] = round(dt - prev, 3)
+        prev = dt
+
+    print(json.dumps(out, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"-> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
