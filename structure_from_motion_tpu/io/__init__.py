@@ -9,6 +9,9 @@ from structure_from_motion_tpu.io.datasets import (  # noqa: F401
     load_points_txt,
     upenn_intrinsics,
 )
+from structure_from_motion_tpu.io.synthetic import (  # noqa: F401
+    synthetic_scene_sequence,
+)
 from structure_from_motion_tpu.io.tum import (  # noqa: F401
     export_tum_trajectory,
     load_tum_trajectory,

@@ -146,8 +146,28 @@ def _blur_levels(base: Array, rel_sigmas: list, impl: str = "matmul") -> Array:
     return jnp.concatenate([base[None], x[0]], axis=0)  # (L+1, H, W)
 
 
-def _downsample2(img: Array) -> Array:
-    return img[::2, ::2]
+def _downsample2(img: Array, impl: str = "matmul") -> Array:
+    """2x subsample (every other pixel — cv2-SIFT's octave step).
+
+    On TPU a stride-2 slice is a cross-lane relayout and costs ~14 ms at
+    2560x1920 (measured) — by far the most expensive "free" op in the
+    pyramid; the same selection as two 0/1 matmuls runs on the MXU in
+    ~1.5 ms. Selection matrices are exact (rows are one-hot), and
+    HIGHEST precision keeps the bf16x3 product f32-exact. CPU keeps the
+    plain slice."""
+    H, W = img.shape
+    if not _use_mxu_blur(impl) or H % 2 or W % 2:
+        # odd dims: the slice keeps (H+1)//2 rows — matmul selection would
+        # change the output shape, so keep the slice for shape parity
+        return img[::2, ::2]
+    sel_v = jnp.zeros((H // 2, H), img.dtype).at[
+        jnp.arange(H // 2), jnp.arange(0, H, 2)
+    ].set(1.0)
+    sel_h = jnp.zeros((W, W // 2), img.dtype).at[
+        jnp.arange(0, W, 2), jnp.arange(W // 2)
+    ].set(1.0)
+    hi = jnp.dot(img, sel_h, precision=jax.lax.Precision.HIGHEST)
+    return jnp.dot(sel_v, hi, precision=jax.lax.Precision.HIGHEST)
 
 
 def _local_extrema(dog: Array) -> Array:
@@ -366,13 +386,38 @@ def _octave_candidates(gauss: Array, cfg: FrontendConfig, per_octave_k: int):
     bm = jnp.zeros((h, w), dtype=bool).at[border:-border, border:-border].set(True)
     valid = extrema & contrast_ok & edge_ok & bm[None]
 
-    resp = jnp.where(valid, jnp.abs(dog[1:-1]), 0.0).reshape(-1)
-    k = min(per_octave_k, resp.shape[0])
-    top_resp, top_idx = _top_k_responses(resp, k, cfg)
-    s_idx = top_idx // (h * w)
-    rem = top_idx % (h * w)
-    yy = rem // w
-    xx = rem % w
+    resp3 = jnp.where(valid, jnp.abs(dog[1:-1]), 0.0)  # (S, h, w)
+    B = cfg.topk_block
+    if B > 1 and h % B == 0 and w % B == 0:
+        # block-local max first: the strongest candidate per (layer, BxB
+        # block), so the top-k sorts ~B^2x fewer entries (the full-map sort
+        # dominated detect: 7.3 ms at 1280x960, 42.9 ms on the 2x first
+        # octave). Two single-axis reductions — a (..., B, B) transpose
+        # would be a cross-lane relayout, reducing one contiguous axis at
+        # a time never is.
+        hb, wb = h // B, w // B
+        r4 = resp3.reshape(s_layers, h, wb, B)
+        ax1 = jnp.argmax(r4, axis=3).astype(jnp.int32)  # (S, h, wb)
+        mx1 = jnp.max(r4, axis=3)
+        r5 = mx1.reshape(s_layers, hb, B, wb)
+        ax2 = jnp.argmax(r5, axis=2).astype(jnp.int32)  # (S, hb, wb)
+        mx2 = jnp.max(r5, axis=2)
+        cand = mx2.reshape(-1)
+        k = min(per_octave_k, cand.shape[0])
+        top_resp, ci = _top_k_responses(cand, k, cfg)
+        s_idx = ci // (hb * wb)
+        remb = ci % (hb * wb)
+        yb, xb = remb // wb, remb % wb
+        yy = yb * B + ax2[s_idx, yb, xb]
+        xx = xb * B + ax1[s_idx, yy, xb]
+    else:
+        resp = resp3.reshape(-1)
+        k = min(per_octave_k, resp.shape[0])
+        top_resp, top_idx = _top_k_responses(resp, k, cfg)
+        s_idx = top_idx // (h * w)
+        rem = top_idx % (h * w)
+        yy = rem // w
+        xx = rem % w
     ok = top_resp > 0.0
     if k < per_octave_k:
         pad = per_octave_k - k
@@ -441,21 +486,33 @@ class _FlatPyramid(NamedTuple):
     on this chip (~70k rows/ms regardless of row width), so one 2-wide
     gather costs half of two 1-wide ones."""
 
-    g2: Array  # (total_rows, 2) = (gx, gy) of every octave stack
+    g4: Array  # (total_rows, 4) paired (gx, gy) of pixels i and i+1
     base: Array  # (n,) flat row offset of each keypoint's octave
     h: Array  # (n,) octave image height
     w: Array  # (n,) octave image width
     hw: Array  # (n,) h * w
 
 
-def _flat_pyramid(gauss_octs: list, oct_idx: Array) -> _FlatPyramid:
-    import numpy as _np
+def _flat_gradients(gauss_octs: list) -> Array:
+    """(total_rows, 2) = (gx, gy) of every octave stack — the keypoint-
+    independent part of :func:`_flat_pyramid`, built ONCE per frame even
+    when keypoint selections change downstream (the orientation pass and
+    the post-duplication descriptor pass select different octave rows;
+    rebuilding the whole-pyramid gradient buffer for each was the single
+    biggest slice of the detect stage).
 
-    # one-sided differences at the image edges (jnp.gradient), NOT
-    # jnp.roll: rolled central differences wrap around and difference
-    # pixels from the OPPOSITE edge — orientation/descriptor supports of
-    # border-8 keypoints reach rows/cols 0 and H-1/W-1, where a
-    # cross-image gradient corrupts the dominant orientation
+    One-sided differences at the image edges (jnp.gradient), NOT
+    jnp.roll: rolled central differences wrap around and difference
+    pixels from the OPPOSITE edge — orientation/descriptor supports of
+    border-8 keypoints reach rows/cols 0 and H-1/W-1, where a
+    cross-image gradient corrupts the dominant orientation.
+
+    PAIRED layout (rows, 4): row i = (gx_i, gy_i, gx_{i+1}, gy_{i+1}) —
+    both x-taps of a bilinear sample live in ONE row, so sampling needs 2
+    gathers (the two y-taps) instead of 4. Pyramid gathers are row-latency
+    bound on TPU (~70-80k rows/ms; traced at ~3.3 ms per 262k-row gather,
+    the dominant detect slice), so halving the row count buys more than the
+    2x buffer it costs."""
     g2 = jnp.concatenate(
         [
             jnp.stack(
@@ -468,14 +525,75 @@ def _flat_pyramid(gauss_octs: list, oct_idx: Array) -> _FlatPyramid:
             for g in gauss_octs
         ]
     )
+    nxt = jnp.concatenate([g2[1:], jnp.zeros((1, 2), g2.dtype)])
+    return jnp.concatenate([g2, nxt], axis=1)  # (rows, 4)
+
+
+def _flat_pyramid(
+    gauss_octs: list, oct_idx: Array, g4: Array | None = None
+) -> _FlatPyramid:
+    import numpy as _np
+
+    if g4 is None:
+        g4 = _flat_gradients(gauss_octs)
     sizes = [g.shape[1] * g.shape[2] for g in gauss_octs]  # H_o * W_o (static)
     bases = _np.cumsum([0] + [g.size for g in gauss_octs])[:-1]
     return _FlatPyramid(
-        g2=g2,
+        g4=g4,
         base=jnp.asarray(bases, jnp.int32)[oct_idx],
         h=jnp.asarray([g.shape[1] for g in gauss_octs], jnp.int32)[oct_idx],
         w=jnp.asarray([g.shape[2] for g in gauss_octs], jnp.int32)[oct_idx],
         hw=jnp.asarray(sizes, jnp.int32)[oct_idx],
+    )
+
+
+def _bilinear_sample_paired(
+    pyr: _FlatPyramid, s: Array, sx: Array, sy: Array
+) -> Array:
+    """Bilinear (gx, gy) sampling from the PAIRED flat gradient buffer:
+    2 gathers per sample set (one per y-tap) instead of 4 — row i of
+    ``pyr.g4`` carries both x-taps (pixels i and i+1). Same math and
+    zero-outside-image semantics as :func:`_bilinear_sample_flat` on the
+    unpaired buffer (parity-tested in test_features.py); pyramid gathers
+    are row-latency bound on TPU, so halving the row count halves the
+    dominant cost of the orientation/descriptor passes."""
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    h = pyr.h[:, None]
+    w = pyr.w[:, None]
+    start = (pyr.base + s * pyr.hw)[:, None]
+    # gather column xg = clip(x0, 0, w-2): that row holds valid pixels
+    # (xg, xg+1) of the SAME image row; select which half serves each tap
+    # (x0 = -1 takes the low half for tap 0; x0 = w-1 takes the high half)
+    xg = jnp.clip(x0i, 0, w - 2)
+
+    # ONE gather for both y-taps: each gather op carries ~0.5-0.8 ms fixed
+    # cost on top of its ~100k rows/ms stream (traced), so batching the
+    # (n, T) index sets into (n, 2T) buys a full op overhead per pass
+    T = sx.shape[1]
+    yy = jnp.concatenate([y0i, y0i + 1], axis=1)  # (n, 2T)
+    iny = (yy >= 0) & (yy < h)
+    xg2 = jnp.concatenate([xg, xg], axis=1)
+    idx = start + jnp.clip(yy, 0, h - 1) * w + xg2
+    v = pyr.g4[idx]  # (n, 2T, 4)
+    lo, hi = v[..., 0:2], v[..., 2:4]
+    x0i2 = jnp.concatenate([x0i, x0i], axis=1)
+    in0 = (iny & (x0i2 >= 0) & (x0i2 < w))[..., None]
+    in1 = (iny & (x0i2 + 1 >= 0) & (x0i2 + 1 < w))[..., None]
+    sel = (x0i2 == xg2)[..., None]
+    v0 = jnp.where(sel, lo, hi) * in0
+    v1 = jnp.where(sel, hi, lo) * in1
+    v00, v10 = v0[:, :T], v0[:, T:]
+    v01, v11 = v1[:, :T], v1[:, T:]
+    return (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
     )
 
 
@@ -498,7 +616,7 @@ def _orientation_peaks(
     sx = x[:, None] + rad[:, None] * gxx.reshape(-1)[None, :]  # (n, G*G)
     sy = y[:, None] + rad[:, None] * gyy.reshape(-1)[None, :]
 
-    g = _bilinear_sample_flat(pyr.g2, pyr.base, s_lvl, sx, sy, pyr.h, pyr.w, pyr.hw)
+    g = _bilinear_sample_paired(pyr, s_lvl, sx, sy)
     gxs, gys = g[..., 0], g[..., 1]
     mag = jnp.sqrt(gxs**2 + gys**2)
     ang = jnp.arctan2(gys, gxs)  # [-pi, pi]
@@ -580,7 +698,7 @@ def _descriptors_for(
     ca, sa = jnp.cos(angle)[:, None], jnp.sin(angle)[:, None]
     rx = x[:, None] + ca * gridx - sa * gridy
     ry = y[:, None] + sa * gridx + ca * gridy
-    g = _bilinear_sample_flat(pyr.g2, pyr.base, s_lvl, rx, ry, pyr.h, pyr.w, pyr.hw)
+    g = _bilinear_sample_paired(pyr, s_lvl, rx, ry)
     gxd, gyd = g[..., 0], g[..., 1]
     magd = jnp.sqrt(gxd**2 + gyd**2)
     angd = jnp.arctan2(gyd, gxd) - angle[:, None]
@@ -729,7 +847,7 @@ def _detect_harris_brief(img: Array, cfg: FrontendConfig):
         all_ok.append(ok)
         all_angle.append(angle)
         all_desc.append(desc)
-        level = _blur(_downsample2(level), 1.0, cfg.blur_impl)
+        level = _blur(_downsample2(level, cfg.blur_impl), 1.0, cfg.blur_impl)
 
     x = jnp.concatenate(all_x)
     y = jnp.concatenate(all_y)
@@ -811,7 +929,7 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
         all_resp.append(resp)
         all_ok.append(ok)
         # next octave: downsample the level with sigma = 2 sigma0
-        base = _downsample2(gauss[S])
+        base = _downsample2(gauss[S], cfg.blur_impl)
 
     xi = jnp.concatenate(all_x)  # octave-local integer coords
     yi = jnp.concatenate(all_y)
@@ -849,7 +967,13 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
     y = (yi + my).astype(jnp.float32) + oy
 
     # interpolated scale: fractional level from the 3-D subpixel fit; the
-    # gradient level used for sampling is the nearest integer level
+    # gradient level used for sampling is the nearest integer level. The
+    # relocation step can drive s_idx to -1 (an extremum sliding below the
+    # stack) — clamp BEFORE the sigma lookup: jnp negative indexing wraps,
+    # and sigmas[-1] would silently hand the finest keypoints the COARSEST
+    # sigma (an 8x descriptor support). The clamp also caps the static
+    # patch size of the sampling kernel below.
+    s_idx = jnp.clip(s_idx, 0, n_levels - 1)
     sig = jnp.asarray(sigmas, jnp.float32)[s_idx] * jnp.power(
         jnp.asarray(k_per_level, jnp.float32), soff_sel
     )
@@ -860,7 +984,8 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
     )
 
     # -- phase 2a: orientation peaks for the winners (one histogram pass) ---
-    pyr = _flat_pyramid(gauss_octs, oct_sel)
+    g4 = _flat_gradients(gauss_octs)  # shared by orientation + descriptors
+    pyr = _flat_pyramid(gauss_octs, oct_sel, g4)
     angle1, angle2, has2 = _orientation_peaks(pyr, s_lvl, x, y, sig)
 
     # duplicate keypoints with a secondary orientation (Lowe's multi-peak
@@ -884,7 +1009,7 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
     # -- phase 2b: descriptors for the final winners only -------------------
     # octaves flattened into one 1-D pyramid buffer so every sample is ONE
     # gather instead of a per-level masked loop
-    pyr = _flat_pyramid(gauss_octs, oct_sel)
+    pyr = _flat_pyramid(gauss_octs, oct_sel, g4)
     desc = _descriptors_for(pyr, s_lvl, x, y, sig, angle, mask)
 
     # octave -> full-resolution pixels (octave 0 is the 2x-doubled image

@@ -186,3 +186,41 @@ def test_upsampled_first_octave_coordinates(upenn_pair_half):
     # that only exist on the doubled image; a miscalibrated coordinate map
     # would send overlap to ~0 (keypoints land between the plain set)
     assert frac > 0.15, frac
+
+
+def test_paired_sampler_matches_unpaired_reference():
+    """_bilinear_sample_paired (2 gathers over the paired (rows, 4) buffer
+    — the TPU product path) must reproduce _bilinear_sample_flat (4 gathers
+    over (rows, 2)) exactly, including samples outside the image and taps
+    straddling the borders."""
+    import numpy as np
+
+    from structure_from_motion_tpu.ops import features as F
+
+    rng = np.random.default_rng(0)
+    h, w, L = 96, 112, 3
+    g2 = jnp.asarray(rng.normal(size=(L * h * w, 2)).astype(np.float32))
+    g4 = jnp.concatenate(
+        [g2, jnp.concatenate([g2[1:], jnp.zeros((1, 2))])], axis=1
+    )
+    n, T = 32, 128
+    pyr = F._FlatPyramid(
+        g4=g4,
+        base=jnp.zeros((n,), jnp.int32),
+        h=jnp.full((n,), h, jnp.int32),
+        w=jnp.full((n,), w, jnp.int32),
+        hw=jnp.full((n,), h * w, jnp.int32),
+    )
+    s = jnp.asarray(rng.integers(0, L, n), jnp.int32)
+    x = jnp.asarray(rng.uniform(8, w - 8, n), jnp.float32)
+    sx = x[:, None] + jnp.asarray(rng.uniform(-30, 30, (n, T)), jnp.float32)
+    sy = jnp.asarray(rng.uniform(8, h - 8, n), jnp.float32)[:, None] + jnp.asarray(
+        rng.uniform(-30, 30, (n, T)), jnp.float32
+    )
+    # deterministic border cases: fractional taps at x = -1.5..w-0.5
+    sx = sx.at[:, :4].set(
+        jnp.asarray([-1.5, -0.5, w - 1.5, w - 0.5], jnp.float32)[None, :]
+    )
+    ref = F._bilinear_sample_flat(g2, pyr.base, s, sx, sy, pyr.h, pyr.w, pyr.hw)
+    got = F._bilinear_sample_paired(pyr, s, sx, sy)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
