@@ -79,8 +79,16 @@ def nullspace_gram(A: Array, iters: int = 6) -> Array:
     if n == 4:
         Ginv = inv4x4(Gd)
     else:
-        Ginv = jnp.linalg.solve(
-            Gd, jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), Gd.shape)
+        # Gd is SPD by construction (gram + positive shift): Cholesky +
+        # two triangular solves beat the generic batched LU inverse ~2x on
+        # TPU (traced 4.9 -> 2.6 ms at 1024 x 12 x 12)
+        L = jnp.linalg.cholesky(Gd)
+        eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), Gd.shape)
+        Y = jax.lax.linalg.triangular_solve(
+            L, eye, left_side=True, lower=True
+        )
+        Ginv = jax.lax.linalg.triangular_solve(
+            L, Y, left_side=True, lower=True, transpose_a=True
         )
     # init: the inverse's largest-norm column (amplified along the null
     # direction; immune to the unlucky-fixed-column failure mode)
@@ -100,6 +108,47 @@ def use_fast_nullspace() -> bool:
     import jax
 
     return jax.default_backend() != "cpu"
+
+
+def det3x3(A: Array) -> Array:
+    """Determinant of ``(..., 3, 3)`` batches (closed form, elementwise)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+
+def polar_rotation_3x3(A: Array, iters: int = 9) -> tuple[Array, Array]:
+    """(R, s_max) of ``(..., 3, 3)`` batches: the orthogonal polar factor
+    (= U V^T of the SVD, same sign convention: det R = sign det A) and the
+    largest singular value — WITHOUT a batched SVD (traced at ~5.8 ms for
+    1024 matrices on TPU vs ~1.8 ms here; the PnP RANSAC runs one per
+    hypothesis, ``ops/pnp.solve_pnp_dlt``).
+
+    Newton polar iteration ``X <- (X + X^-T) / 2`` after a Frobenius
+    prescale: every singular value flows to 1 quadratically (from the
+    prescaled minimum ~0.57 that is < 5 iterations; the budget covers
+    skewed spectra), using only the closed-form :func:`inv3x3` —
+    elementwise ops, no custom calls. Degenerate inputs stay finite
+    (inv3x3's eps floor), producing a garbage-but-scoreable rotation,
+    which is exactly what a degenerate RANSAC hypothesis deserves.
+    ``s_max`` is the analytic largest eigenvalue of the SPD polar part
+    H = R^T A (trigonometric closed form for symmetric 3x3)."""
+    nrm = jnp.maximum(
+        jnp.linalg.norm(A, axis=(-2, -1), keepdims=True), 1e-20
+    )
+    X = A / nrm
+    for _ in range(iters):
+        X = 0.5 * (X + jnp.swapaxes(inv3x3(X), -1, -2))
+    R = X
+    H = jnp.einsum("...ji,...jk->...ik", R, A)
+    Hs = 0.5 * (H + jnp.swapaxes(H, -1, -2))
+    q = jnp.trace(Hs, axis1=-2, axis2=-1) / 3.0
+    D = Hs - q[..., None, None] * jnp.eye(3, dtype=A.dtype)
+    p = jnp.sqrt(jnp.maximum(jnp.sum(D * D, axis=(-2, -1)) / 6.0, 1e-30))
+    r = jnp.clip(det3x3(D / p[..., None, None]) / 2.0, -1.0, 1.0)
+    s_max = q + 2.0 * p * jnp.cos(jnp.arccos(r) / 3.0)
+    return R, s_max
 
 
 def inv3x3(A: Array, eps: float = 1e-12) -> Array:

@@ -31,8 +31,10 @@ from jax import Array
 
 from structure_from_motion_tpu.config import LMConfig, RansacConfig
 from structure_from_motion_tpu.ops.linalg import (
+    det3x3,
     nullspace,
     nullspace_gram,
+    polar_rotation_3x3,
     use_fast_nullspace,
 )
 from structure_from_motion_tpu.ops.ransac import (
@@ -86,11 +88,18 @@ def solve_pnp_dlt(X: Array, meas_norm: Array, weights: Array | None = None):
         p = nullspace(W)  # (..., 12)
     P = p.reshape(*p.shape[:-1], 3, 4)
     A, b = P[..., :3], P[..., 3]
-    uu, s, vh = jnp.linalg.svd(A)
-    R_w2c = jnp.matmul(uu, vh)
-    det = jnp.linalg.det(R_w2c)
+    if use_fast_nullspace():
+        # TPU: Newton polar factor + analytic s_max — the batched 3x3 SVD
+        # custom call was ~5.8 ms per 1024 hypotheses (ops/linalg.py)
+        R_w2c, s0 = polar_rotation_3x3(A)
+        det = jnp.sign(det3x3(R_w2c))
+    else:
+        uu, s, vh = jnp.linalg.svd(A)
+        R_w2c = jnp.matmul(uu, vh)
+        s0 = s[..., 0]
+        det = jnp.linalg.det(R_w2c)
     R_w2c = R_w2c * det[..., None, None]  # det fix: (-1)^3 flips det to +1
-    scale = jnp.maximum(s[..., 0], 1e-12)
+    scale = jnp.maximum(s0, 1e-12)
     t = det[..., None] * b / scale
     # global sign: majority of points must be in front (depth > 0)
     Xc = jnp.einsum("...ij,...nj->...ni", R_w2c, X) + t[..., None, :]

@@ -73,3 +73,32 @@ def test_normalized_camera_coords():
     Kinv = np.linalg.inv(np.asarray(K))
     want = (Kinv @ np.vstack([uv.T, np.ones((1, 30))]))[:2].T
     np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_polar_rotation_3x3_matches_svd():
+    """polar_rotation_3x3 (the TPU PnP path: Newton polar + analytic
+    s_max, no batched-SVD custom call) must reproduce the SVD polar factor
+    U V^T and the largest singular value on PnP-shaped inputs."""
+    import numpy as np
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation
+
+    from structure_from_motion_tpu.ops.linalg import polar_rotation_3x3
+
+    rng = np.random.default_rng(3)
+    B = 256
+    Rm = Rotation.random(B, rng).as_matrix()
+    s = rng.uniform(0.05, 20.0, (B, 1, 1))
+    A = s * Rm + rng.normal(size=(B, 3, 3)) * 0.02 * s
+    A = jnp.asarray(A)
+
+    u, sv, vh = jnp.linalg.svd(A)
+    R_ref = np.asarray(u @ vh)
+    R_got, s_got = polar_rotation_3x3(A)
+    R_got, s_got = np.asarray(R_got), np.asarray(s_got)
+    np.testing.assert_allclose(R_got, R_ref, atol=5e-6)
+    np.testing.assert_allclose(s_got, np.asarray(sv)[:, 0], rtol=1e-6)
+    # orthogonality + sign convention
+    eye = np.einsum("bij,bkj->bik", R_got, R_got)
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), (B, 3, 3)), atol=5e-6)
+    assert (np.sign(np.linalg.det(R_got)) == np.sign(np.linalg.det(np.asarray(A)))).all()
