@@ -89,14 +89,17 @@ def _blur(img: Array, sigma: float, impl: str = "matmul") -> Array:
     """Separable Gaussian blur of a (H, W) image.
 
     TPU: two banded matmuls (Bv @ img @ Bh^T) so the smoothing runs on the
-    MXU at f32-accurate bf16x3 precision; CPU: two 1-D convs."""
+    MXU at bf16x3 precision (Precision.HIGH: 1.5e-5 max error vs an f64
+    oracle on unit-range images — 1000x below the DoG contrast threshold.
+    HIGHEST is the SIX-pass emulation and costs 13x the wall time for
+    1.3e-7, measured at 2560x1920); CPU: two 1-D convs."""
     k = _gaussian_kernel1d(sigma)
     if _use_mxu_blur(impl):
         h, w = img.shape
         Bh = _band(k, w)
         Bv = _band(k, h)
-        hi = jnp.dot(img, Bh.T, precision=jax.lax.Precision.HIGHEST)
-        return jnp.dot(Bv, hi, precision=jax.lax.Precision.HIGHEST)
+        hi = jnp.dot(img, Bh.T, precision=jax.lax.Precision.HIGH)
+        return jnp.dot(Bv, hi, precision=jax.lax.Precision.HIGH)
     r = (k.shape[0] - 1) // 2
     x = img[None, None, :, :]
     kh = k.reshape(1, 1, 1, -1)
@@ -122,10 +125,10 @@ def _blur_levels(base: Array, rel_sigmas: list, impl: str = "matmul") -> Array:
         Bh = jnp.stack([_band(k, w) for k in ks])  # (L, W, W)
         Bv = jnp.stack([_band(k, h) for k in ks])  # (L, H, H)
         hi = jnp.einsum(
-            "hw,lvw->lhv", base, Bh, precision=jax.lax.Precision.HIGHEST
+            "hw,lvw->lhv", base, Bh, precision=jax.lax.Precision.HIGH
         )
         out = jnp.einsum(
-            "lgh,lhv->lgv", Bv, hi, precision=jax.lax.Precision.HIGHEST
+            "lgh,lhv->lgv", Bv, hi, precision=jax.lax.Precision.HIGH
         )
         return jnp.concatenate([base[None], out], axis=0)
     radius = max((k.shape[0] - 1) // 2 for k in ks)
@@ -152,9 +155,9 @@ def _downsample2(img: Array, impl: str = "matmul") -> Array:
     On TPU a stride-2 slice is a cross-lane relayout and costs ~14 ms at
     2560x1920 (measured) — by far the most expensive "free" op in the
     pyramid; the same selection as two 0/1 matmuls runs on the MXU in
-    ~1.5 ms. Selection matrices are exact (rows are one-hot), and
-    HIGHEST precision keeps the bf16x3 product f32-exact. CPU keeps the
-    plain slice."""
+    ~1.5 ms. Selection matrices are exact (rows are one-hot, so each
+    output is a single product v * 1.0 — exact at bf16x3/HIGH). CPU keeps
+    the plain slice."""
     H, W = img.shape
     if not _use_mxu_blur(impl) or H % 2 or W % 2:
         # odd dims: the slice keeps (H+1)//2 rows — matmul selection would
@@ -166,18 +169,24 @@ def _downsample2(img: Array, impl: str = "matmul") -> Array:
     sel_h = jnp.zeros((W, W // 2), img.dtype).at[
         jnp.arange(0, W, 2), jnp.arange(W // 2)
     ].set(1.0)
-    hi = jnp.dot(img, sel_h, precision=jax.lax.Precision.HIGHEST)
-    return jnp.dot(sel_v, hi, precision=jax.lax.Precision.HIGHEST)
+    hi = jnp.dot(img, sel_h, precision=jax.lax.Precision.HIGH)
+    return jnp.dot(sel_v, hi, precision=jax.lax.Precision.HIGH)
+
+
+def _sep_window(x: Array, init, op):
+    # separable 3x3x3 window reduction: three 1-D passes. XLA lowers the
+    # direct (3,3,3) reduce_window to 27 taps per element — measured 43.9
+    # ms on a (5, 1920, 2560) stack vs 3.2 ms for the separable chain
+    # (max/min are separable over box windows, identical result)
+    for dims in ((1, 1, 3), (1, 3, 1), (3, 1, 1)):
+        x = jax.lax.reduce_window(x, init, op, dims, (1, 1, 1), "SAME")
+    return x
 
 
 def _local_extrema(dog: Array) -> Array:
     """(S+2, H, W) DoG stack -> bool map of 3x3x3 extrema for layers 1..S."""
-    neigh_max = jax.lax.reduce_window(
-        dog, -jnp.inf, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
-    )
-    neigh_min = jax.lax.reduce_window(
-        dog, jnp.inf, jax.lax.min, (3, 3, 3), (1, 1, 1), "SAME"
-    )
+    neigh_max = _sep_window(dog, -jnp.inf, jax.lax.max)
+    neigh_min = _sep_window(dog, jnp.inf, jax.lax.min)
     # a strict extremum equals the window max (or min); ties suppressed by
     # requiring it also exceed the second value is skipped — DoG ties are
     # measure-zero on real images
