@@ -158,7 +158,8 @@ def main():
     _note(r, "ell_convert_ms", timeit(ell_f, obs) * 1e3)
     obs_e = jax.block_until_ready(ell_f(obs))
     cfg_e = BAConfig(iterations=1, damping=5.0, huber_delta=0.01, ell_rows=T)
-    asm_e = jax.jit(lambda s, o: ba_mod._assemble(s, o, cfg_e, True, T))
+    lay_e = ba_mod.ObsLayout(ell_rows=T)
+    asm_e = jax.jit(lambda s, o: ba_mod._assemble(s, o, cfg_e, True, lay_e))
     _note(r, "ell_assemble_ms", timeit(asm_e, state, obs_e) * 1e3)
     W_e = jax.block_until_ready(asm_e(state, obs_e))[2]
 

@@ -193,8 +193,23 @@ class BAConfig:
     # safe: the track table holds at most one observation per (view, point)
     # pair). Set explicitly when V is large but tracks are short — slots
     # beyond the true maximum track length only waste bandwidth, but a value
-    # BELOW it silently drops the excess observations from BA.
+    # BELOW it silently drops the excess observations from BA unless
+    # ell_tail absorbs them.
     ell_rows: int = 0
+    # Hybrid-ELL spill capacity: observations beyond a point's first
+    # ell_rows go into this many point-sorted CSR slots appended after the
+    # ELL block (segment-summed — cheap when the tail is a small fraction
+    # of the stream). Lets whole-trajectory BA keep ell_rows at the TYPICAL
+    # track length even when a few revisited landmarks are observed by
+    # hundreds of cameras. 0 = pure ELL (excess observations drop).
+    ell_tail: int = 0
+    # Camera-ELL reduction: > 0 enables a camera-major gather+reshape-sum
+    # for every camera-axis reduction instead of the (O, V) one-hot matmul
+    # — at hundreds of cameras the one-hot operand is ~1 GB of HBM traffic
+    # PER PCG ITERATION. Must be >= the max number of observations of any
+    # single camera (on its shard) or the excess silently drops; size it
+    # host-side from the observation histogram. 0 = one-hot matmul.
+    cam_rows: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -160,6 +160,42 @@ def build_global_problem(
     return GlobalProblem(ba_state, obs, gids_out, F, P_real, O_real, max_track)
 
 
+_SPILL_COST = 12  # relative cost of one CSR-tail slot vs one dense ELL slot
+
+
+def _choose_ell_rows(counts: np.ndarray, m_pad: int) -> tuple[int, int]:
+    """Pick the hybrid-ELL row count from the track-length histogram.
+
+    Minimises ``m_pad * rows + _SPILL_COST * spilled(rows)`` where
+    ``spilled(rows)`` is the number of observations past each point's first
+    ``rows`` — the dense stream is priced per slot, spilled observations at
+    the measured ~12x premium of a TPU scatter/segment-sum row over a dense
+    reshape-sum slot. Returns (rows, spilled). With heavy revisits this
+    lands near the ~p95 track length: the few hundred-camera landmarks
+    spill into a short tail instead of padding EVERY point to the longest
+    track (the round-3 failure that forced whole-trajectory BA back onto
+    the CSR path at ~5.5 s per LM iteration)."""
+    if counts.size == 0 or counts.max() == 0:
+        return 1, 0
+    max_t = int(counts.max())
+    hist = np.bincount(counts, minlength=max_t + 2)
+    ge = np.cumsum(hist[::-1])[::-1]  # ge[k] = #points with count >= k
+    suffix = np.concatenate([np.cumsum(ge[::-1])[::-1], [0]])
+    rows = np.arange(1, max_t + 1)
+    spilled = suffix[rows + 1]  # sum_{c > r} (c - r) * hist[c]
+    cost = m_pad * rows.astype(np.int64) + _SPILL_COST * spilled
+    best = int(np.argmin(cost))
+    return int(rows[best]), int(spilled[best])
+
+
+def _align_tail(n_dense: int, tail: int, mult: int = 512) -> int:
+    """Pad the tail so the packed stream length is tile-aligned (the fused
+    Pallas assembly kernel wants a 512-row multiple; padding slots are
+    masked invalid and cost only bandwidth)."""
+    total = n_dense + tail
+    return tail + (-total) % mult
+
+
 def solve_global(
     problem: GlobalProblem,
     ba_config: BAConfig,
@@ -170,25 +206,32 @@ def solve_global(
 
     ``num_shards > 1`` uses the distributed layout of
     ``parallel/ba_sharded.py`` — points/observations sharded, cameras
-    replicated, one psum'd reduced system per LM iteration. ELL packing is
-    sized to the measured longest track instead of the camera count, so the
-    per-iteration streams stay proportional to the real observation load.
-    """
-    ell_rows = max(problem.max_track_len, 1)
-    M = int(problem.state.X.shape[0])
-    O = int(problem.obs.cam.shape[0])
-    # ELL pads every point to the LONGEST track; with heavy revisits (one
-    # landmark observed by hundreds of cameras) that padding dwarfs the
-    # real observation load and the CSR segment-sum stream is cheaper.
-    if M * ell_rows > 8 * O:
-        cfg = dataclasses.replace(
-            ba_config, iterations=iterations, obs_layout="csr"
-        )
-    else:
-        cfg = dataclasses.replace(
-            ba_config, iterations=iterations, ell_rows=ell_rows
-        )
+    replicated, one psum'd reduced system per LM iteration.
+
+    The observation layout is sized host-side from the problem's own
+    histograms (assembly runs once per reconstruction; the solve must not
+    pay for rare long tracks): hybrid ELL rows at the cost-optimal track
+    length with a CSR tail for the spill, and the camera-ELL reduction
+    (``BAConfig.cam_rows``) sized to the busiest camera so no PCG iteration
+    materialises an (O, V) one-hot operand."""
+    point = np.asarray(problem.obs.point)
+    cam = np.asarray(problem.obs.cam)
+    valid = np.asarray(problem.obs.valid)
+    V = int(problem.state.C.shape[0])
+    M_pad = int(problem.state.X.shape[0])
+
     if num_shards <= 1:
+        counts = np.bincount(point[valid], minlength=M_pad)
+        rows, spilled = _choose_ell_rows(counts, M_pad)
+        tail = _align_tail(M_pad * rows, spilled)
+        cam_max = int(np.bincount(cam[valid], minlength=V).max())
+        # camera-ELL pays off once the (O, V) one-hot operand outweighs the
+        # permuted stream; at windowed V the MXU one-hot matmul wins
+        cam_rows = _round_up(cam_max, 8) if V >= 64 else 0
+        cfg = dataclasses.replace(
+            ba_config, iterations=iterations, obs_layout="ell",
+            ell_rows=rows, ell_tail=tail, cam_rows=cam_rows,
+        )
         from structure_from_motion_tpu.ops.ba import run_bundle_adjustment
 
         out, costs = run_bundle_adjustment(problem.state, problem.obs, cfg)
@@ -203,8 +246,29 @@ def solve_global(
     from structure_from_motion_tpu.parallel.mesh import make_mesh
 
     S = num_shards
-    M = problem.state.X.shape[0]
+    M = M_pad
     O = problem.obs.cam.shape[0]
+    # per-shard static layout: rows shared (one compiled program), tail and
+    # cam_rows sized to the worst shard (interleaved point placement:
+    # point p lives on shard p % S, and its observations with it)
+    counts = np.bincount(point[valid], minlength=M)
+    rows, _ = _choose_ell_rows(counts, M)
+    pt_shard = point % S
+    obs_shard = pt_shard[valid]
+    spill_per_obs_pt = np.maximum(counts - rows, 0)
+    spill_shard = np.bincount(
+        np.arange(M) % S, weights=spill_per_obs_pt, minlength=S
+    )
+    tail = _align_tail((M // S) * rows, int(spill_shard.max()))
+    cam_max = max(
+        int(np.bincount(cam[valid][obs_shard == s], minlength=V).max())
+        for s in range(S)
+    )
+    cam_rows = _round_up(cam_max, 8) if V >= 64 else 0
+    cfg = dataclasses.replace(
+        ba_config, iterations=iterations, obs_layout="ell",
+        ell_rows=rows, ell_tail=tail, cam_rows=cam_rows,
+    )
     # per-shard bucket: balanced load + slack for round-robin imbalance
     bucket = _round_up(int(np.ceil(O / S * 1.25)), 8)
     part = partition_observations(problem.obs, M, S, bucket, interleave=True)

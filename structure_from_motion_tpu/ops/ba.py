@@ -82,6 +82,35 @@ class BAObservations(NamedTuple):
     valid: Array  # (O,) bool
 
 
+class ObsLayout(NamedTuple):
+    """Static description of how the observation stream is laid out.
+
+    ``ell_rows == 0``: CSR — a point-sorted stream, point-axis reductions
+    are sorted segment-sums. ``ell_rows > 0``: hybrid ELL — the first
+    ``M * ell_rows`` slots are a dense (point, slot) table (reshape-sums,
+    broadcast gathers) and the last ``tail`` slots are a point-sorted CSR
+    tail holding each point's observations beyond ``ell_rows``. The hybrid
+    keeps the dense-stream cost proportional to the TYPICAL track length
+    while a few heavily-revisited landmarks (track length in the hundreds)
+    spill into a short segment-summed tail instead of padding every point
+    to the longest track — the failure mode that made whole-trajectory BA
+    fall back to CSR and its ~10 ms/iteration TPU scatters.
+
+    ``cam_perm``/``cam_mask`` (present when ``BAConfig.cam_rows > 0``)
+    describe a second, camera-major ELL view of the SAME stream: slot
+    ``v * cam_rows + r`` holds the index of camera v's r-th observation.
+    Camera-axis reductions then run as gather + reshape-sum at HBM
+    bandwidth instead of materialising a (O, V) one-hot matmul operand —
+    at 500 cameras x 500k slots that operand alone is ~1 GB of HBM traffic
+    per reduction, and the PCG matvec does one per CG iteration."""
+
+    ell_rows: int = 0
+    tail: int = 0
+    cam_rows: int = 0
+    cam_perm: Array | None = None  # (V * cam_rows,) int32 into the stream
+    cam_mask: Array | None = None  # (V * cam_rows,) bool
+
+
 def huber_weights(res: Array, delta: float) -> Array:
     """Per-observation sqrt-IRLS weights for the Huber loss; 1.0 if off."""
     if delta <= 0.0:
@@ -122,22 +151,25 @@ def _sort_obs_by_point(obs: BAObservations) -> BAObservations:
     )
 
 
-def _to_ell(obs: BAObservations, m: int, rows: int) -> BAObservations:
-    """Pack the observation stream into ELL layout: point p owns the
-    ``rows`` contiguous slots ``[p*rows, (p+1)*rows)`` of the returned flat
-    stream, empty slots marked invalid. ``point`` becomes the implicit
+def _to_ell(obs: BAObservations, m: int, rows: int, tail: int = 0) -> BAObservations:
+    """Pack the observation stream into (hybrid) ELL layout: point p owns
+    the ``rows`` contiguous slots ``[p*rows, (p+1)*rows)`` of the returned
+    flat stream, empty slots marked invalid. ``point`` becomes the implicit
     ``arange(m*rows) // rows``, so every point-axis reduction downstream is
     a dense ``reshape(m, rows, ...).sum(1)`` and every point-axis gather a
     broadcast — the layout that removes all scatters/segment-sums from the
     LM and PCG loops (one TPU scatter-add over 131k rows costs ~10 ms; the
     dense sum runs at HBM bandwidth).
 
-    Safe whenever no point has more than ``rows`` valid observations — the
-    track table guarantees at most one observation per (view, point) pair,
-    so ``rows = V`` always qualifies. Excess observations beyond ``rows``
-    are dropped (validity cleared); callers choosing a smaller ``rows``
-    own that trade. Pure JAX; one sort + one scatter per BA call, amortised
-    over every LM/CG iteration."""
+    With ``tail > 0`` observations beyond a point's first ``rows`` spill
+    into ``tail`` extra point-sorted CSR slots appended after the ELL block
+    (their explicit point ids live in ``point``; empty tail slots carry
+    ``m - 1`` so the tail stays sorted). This keeps ``rows`` at the TYPICAL
+    track length even when a few landmarks are observed by hundreds of
+    cameras. With ``tail == 0`` excess observations are dropped (validity
+    cleared) — the track table guarantees at most one observation per
+    (view, point) pair, so ``rows = V`` always loses nothing. Pure JAX; one
+    sort + one scatter per BA call, amortised over every LM/CG iteration."""
     s = _sort_obs_by_point(
         obs._replace(point=jnp.where(obs.valid, obs.point, m))
     )
@@ -147,26 +179,95 @@ def _to_ell(obs: BAObservations, m: int, rows: int) -> BAObservations:
         jnp.minimum(s.point, m)
     ]
     keep = jnp.logical_and(s.valid, rank < rows)
-    dest = jnp.where(keep, s.point * rows + rank, m * rows)  # dump slot
+    total = m * rows + tail
+    if tail:
+        is_tail = jnp.logical_and(s.valid, rank >= rows)
+        tpos = jnp.cumsum(is_tail.astype(jnp.int32)) - 1  # point-sorted order
+        keep_tail = jnp.logical_and(is_tail, tpos < tail)
+        dest = jnp.where(
+            keep,
+            s.point * rows + rank,
+            jnp.where(keep_tail, m * rows + tpos, total),
+        )
+        keep = jnp.logical_or(keep, keep_tail)
+    else:
+        dest = jnp.where(keep, s.point * rows + rank, total)  # dump slot
 
-    total = m * rows
     cam = jnp.zeros((total + 1,), jnp.int32).at[dest].set(s.cam.astype(jnp.int32))
     uv = jnp.zeros((total + 1, 2), s.uv_norm.dtype).at[dest].set(s.uv_norm)
     valid = jnp.zeros((total + 1,), bool).at[dest].set(keep)
     point = jnp.broadcast_to(
         jnp.arange(m, dtype=jnp.int32)[:, None], (m, rows)
-    ).reshape(total)
+    ).reshape(m * rows)
+    if tail:
+        # empty tail slots read m-1 (max id) so the tail stays sorted for
+        # the indices_are_sorted segment-sums; their zero weights/Jacobians
+        # make the binned contribution exactly zero
+        pt_tail = jnp.full((total + 1,), m - 1, jnp.int32).at[dest].set(
+            s.point.astype(jnp.int32)
+        )[m * rows : total]
+        point = jnp.concatenate([point, pt_tail])
     return BAObservations(
         cam=cam[:total], point=point, uv_norm=uv[:total], valid=valid[:total]
     )
 
 
+def compute_cam_ell(
+    cam: Array, valid: Array, n_views: int, rows: int
+) -> tuple[Array, Array]:
+    """Camera-major ELL view of an observation stream: returns
+    ``(perm, mask)`` of shape (n_views * rows,) such that slot
+    ``v * rows + r`` indexes camera v's r-th valid observation (mask False
+    on empty slots). Camera-axis reductions become
+    ``vals[perm].reshape(V, rows, ...).sum(1)`` — HBM-bandwidth gather +
+    dense sum instead of a (O, V) one-hot matmul operand. ``rows`` must be
+    >= the maximum number of valid observations of any camera or the
+    excess silently drops from camera reductions (callers size it exactly,
+    host-side). One argsort per BA call."""
+    O = cam.shape[0]
+    key = jnp.where(valid, cam, n_views)
+    order = jnp.argsort(key)
+    cam_s = key[order]
+    start = jnp.searchsorted(cam_s, jnp.arange(n_views + 1, dtype=cam_s.dtype))
+    rank = jnp.arange(O, dtype=cam_s.dtype) - start[jnp.minimum(cam_s, n_views)]
+    keep = jnp.logical_and(valid[order], rank < rows)
+    dest = jnp.where(keep, cam_s * rows + rank, n_views * rows)
+    total = n_views * rows
+    perm = jnp.zeros((total + 1,), jnp.int32).at[dest].set(order.astype(jnp.int32))
+    mask = jnp.zeros((total + 1,), bool).at[dest].set(keep)
+    return perm[:total], mask[:total]
+
+
+def _cam_sum(vals: Array, cam: Array, n_views: int, lay: "ObsLayout") -> Array:
+    """Sum per-observation values into (n_views, ...) camera bins."""
+    if lay.cam_perm is not None:
+        m = lay.cam_mask.astype(vals.dtype).reshape(
+            (-1,) + (1,) * (vals.ndim - 1)
+        )
+        g = vals[lay.cam_perm] * m
+        return g.reshape((n_views, lay.cam_rows) + vals.shape[1:]).sum(axis=1)
+    oh = jax.nn.one_hot(cam, n_views, dtype=vals.dtype)  # (O, V)
+    return jnp.tensordot(oh, vals, axes=[[0], [0]])
+
+
 def _point_sum(
-    vals: Array, point: Array, m: int, sorted_by_point: bool, ell_rows: int = 0
+    vals: Array,
+    point: Array,
+    m: int,
+    sorted_by_point: bool,
+    lay: "ObsLayout | None" = None,
 ) -> Array:
     """Sum per-observation values into (m, ...) point bins."""
+    ell_rows = lay.ell_rows if lay is not None else 0
     if ell_rows:
-        return vals.reshape((m, ell_rows) + vals.shape[1:]).sum(axis=1)
+        n_ell = m * ell_rows
+        out = vals[:n_ell].reshape((m, ell_rows) + vals.shape[1:]).sum(axis=1)
+        if lay.tail:
+            out = out + jax.ops.segment_sum(
+                vals[n_ell:], point[n_ell:], num_segments=m,
+                indices_are_sorted=True,
+            )
+        return out
     if sorted_by_point:
         return jax.ops.segment_sum(
             vals, point, num_segments=m, indices_are_sorted=True
@@ -174,13 +275,19 @@ def _point_sum(
     return jnp.zeros((m,) + vals.shape[1:], vals.dtype).at[point].add(vals)
 
 
-def _point_gather(vals: Array, point: Array, ell_rows: int = 0) -> Array:
+def _point_gather(
+    vals: Array, point: Array, lay: "ObsLayout | None" = None
+) -> Array:
     """Expand (m, ...) point values to the per-observation stream."""
+    ell_rows = lay.ell_rows if lay is not None else 0
     if ell_rows:
         m = vals.shape[0]
-        return jnp.broadcast_to(
+        g = jnp.broadcast_to(
             vals[:, None], (m, ell_rows) + vals.shape[1:]
         ).reshape((m * ell_rows,) + vals.shape[1:])
+        if lay.tail:
+            g = jnp.concatenate([g, vals[point[m * ell_rows :]]], axis=0)
+        return g
     return vals[point]
 
 
@@ -189,7 +296,7 @@ def _assemble(
     obs: BAObservations,
     config: BAConfig,
     sorted_by_point: bool = False,
-    ell_rows: int = 0,
+    lay: ObsLayout = ObsLayout(),
 ):
     """Residuals -> all LM blocks. Shard-safe: pure segment-sums (CSR) or
     dense reshape-sums (ELL) over the local observation shard. On TPU the
@@ -199,7 +306,7 @@ def _assemble(
     V = state.C.shape[0]
     M = state.X.shape[0]
     w = obs.valid.astype(state.X.dtype)
-    X_o = _point_gather(state.X, obs.point, ell_rows)
+    X_o = _point_gather(state.X, obs.point, lay)
 
     if _use_pallas(config, obs.cam.shape[0]):
         from structure_from_motion_tpu.ops.ba_pallas import pallas_ba_blocks
@@ -218,8 +325,8 @@ def _assemble(
             interpret=jax.default_backend() != "tpu",
         )
         dt = state.X.dtype
-        D = _point_sum(DtD.astype(dt), obs.point, M, sorted_by_point, ell_rows)
-        b_p = _point_sum(bp_o.astype(dt), obs.point, M, sorted_by_point, ell_rows)
+        D = _point_sum(DtD.astype(dt), obs.point, M, sorted_by_point, lay)
+        b_p = _point_sum(bp_o.astype(dt), obs.point, M, sorted_by_point, lay)
         return U.astype(dt), D, W.astype(dt), b_c.astype(dt), b_p, cost.astype(dt)
 
     res, J_cam, J_pt = batched_residual_jacobians(
@@ -240,15 +347,16 @@ def _assemble(
     # segment sums into camera / point blocks (W stays per-observation —
     # the camera-point coupling is consumed either as a dense (M,V,7,3)
     # scatter for the small-V exact Schur solve or matrix-free in PCG).
-    # Camera-axis reductions go through a one-hot matmul: on TPU a scatter
-    # -add over 131k observations costs ~10 ms while the (V, O) x (O, 49)
-    # matmul rides the MXU at ~3.6 ms; the point axis (M large) must stay
-    # a scatter.
-    oh_cam = jax.nn.one_hot(obs.cam, V, dtype=state.X.dtype)  # (O, V)
-    U = jnp.einsum("ov,oij->vij", oh_cam, UtU)
-    b_c = jnp.einsum("ov,oi->vi", oh_cam, bc_o)
-    D = _point_sum(DtD, obs.point, M, sorted_by_point, ell_rows)
-    b_p = _point_sum(bp_o, obs.point, M, sorted_by_point, ell_rows)
+    # Camera-axis reductions go through a one-hot matmul (small V: on TPU a
+    # scatter-add over 131k observations costs ~10 ms while the (V, O) x
+    # (O, 49) matmul rides the MXU at ~3.6 ms) or, with
+    # ``BAConfig.cam_rows``, the camera-ELL gather+reshape-sum (large V,
+    # where the (O, V) one-hot operand itself becomes the bandwidth cost);
+    # the point axis (M large) must stay a scatter in CSR layout.
+    U = _cam_sum(UtU, obs.cam, V, lay)
+    b_c = _cam_sum(bc_o, obs.cam, V, lay)
+    D = _point_sum(DtD, obs.point, M, sorted_by_point, lay)
+    b_p = _point_sum(bp_o, obs.point, M, sorted_by_point, lay)
 
     cost = jnp.sum(res**2)
     return U, D, W, b_c, b_p, cost
@@ -264,17 +372,24 @@ def _gauge_pin(state: BAState, config: BAConfig) -> Array:
     return pin
 
 
-def _solve_dense(U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum, ell_rows=0):
+def _solve_dense(U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum, lay=ObsLayout()):
     """Exact Schur solve: build the coupling G (M,V,7,3) — a one-hot MXU
     matmul over the ELL rows, or a scatter from the CSR stream — then one
     einsum for the (7V,7V) reduced system and a dense solve. Right for
     windowed V (<= a few hundred cameras)."""
     M = Dinv.shape[0]
-    if ell_rows:
+    if lay.ell_rows:
         # dense build: (M,T,V) one-hot x (M,T,7,3) -> (M,V,7,3) on the MXU;
         # invalid slots carry zero Jacobians so their cam id 0 adds nothing
-        ohc = jax.nn.one_hot(obs.cam.reshape(M, ell_rows), V, dtype=dtype)
-        G = jnp.einsum("mtv,mtic->mvic", ohc, W.reshape(M, ell_rows, 7, 3))
+        n_ell = M * lay.ell_rows
+        ohc = jax.nn.one_hot(
+            obs.cam[:n_ell].reshape(M, lay.ell_rows), V, dtype=dtype
+        )
+        G = jnp.einsum(
+            "mtv,mtic->mvic", ohc, W[:n_ell].reshape(M, lay.ell_rows, 7, 3)
+        )
+        if lay.tail:
+            G = G.at[obs.point[n_ell:], obs.cam[n_ell:]].add(W[n_ell:])
     else:
         G = jnp.zeros((M, V, 7, 3), dtype).at[obs.point, obs.cam].add(W)
     S_coupling = jnp.einsum("mvic,mcd,mwjd->vijw", G, Dinv, G)  # (V,7,7,V)
@@ -306,7 +421,7 @@ def _solve_dense(U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum, ell_rows=0):
 
 def _solve_pcg(
     U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum, config: BAConfig,
-    sorted_by_point: bool = False, ell_rows: int = 0,
+    sorted_by_point: bool = False, lay: ObsLayout = ObsLayout(),
 ):
     """Matrix-free PCG on the reduced camera system (large V).
 
@@ -327,7 +442,7 @@ def _solve_pcg(
     U_hat = psum(U) if psum is not None else U
     U_hat = U_hat + lam * jnp.eye(7, dtype=dtype)[None]
 
-    if sorted_by_point or ell_rows:
+    if sorted_by_point or lay.ell_rows:
         # run_bundle_adjustment already canonicalised the layout once for
         # the whole BA call
         pt_s, cam_s, W_s = obs.point, obs.cam, W
@@ -340,11 +455,10 @@ def _solve_pcg(
     # exact diagonal blocks of the coupling: sum over each camera's own
     # observations of W_o Dinv_{pt(o)} W_o^T  (cross-observation terms of the
     # same (cam, point) pair don't exist: at most one obs per pair)
-    oh_cam = jax.nn.one_hot(cam_s, V, dtype=dtype)  # (O, V)
-    Dinv_o = _point_gather(Dinv, pt_s, ell_rows)
+    Dinv_o = _point_gather(Dinv, pt_s, lay)
     WD = jnp.einsum("oic,ocd->oid", W_s, Dinv_o)  # (O,7,3)
     diag_o = jnp.einsum("oid,ojd->oij", WD, W_s)  # (O,7,7)
-    S_diag = jnp.einsum("ov,oij->vij", oh_cam, diag_o)
+    S_diag = _cam_sum(diag_o, cam_s, V, lay)
     if psum is not None:
         S_diag = psum(S_diag)
     P = U_hat - S_diag  # (V,7,7) block-Jacobi preconditioner
@@ -356,10 +470,10 @@ def _solve_pcg(
         # stays OUTSIDE the collective; only the local coupling is psummed
         xz = jnp.where(pin[:, None], 0.0, x)
         t = jnp.einsum("oic,oi->oc", W_s, xz[cam_s])  # (O,3) = G^T x per obs
-        g = _point_sum(t, pt_s, M, sorted_by_point=True, ell_rows=ell_rows)
+        g = _point_sum(t, pt_s, M, sorted_by_point=True, lay=lay)
         y = jnp.einsum("mcd,md->mc", Dinv, g)  # D^-1 G^T x
-        z = jnp.einsum("oic,oc->oi", W_s, _point_gather(y, pt_s, ell_rows))
-        coup = jnp.einsum("ov,oi->vi", oh_cam, z)  # one-hot matmul, not scatter
+        z = jnp.einsum("oic,oc->oi", W_s, _point_gather(y, pt_s, lay))
+        coup = _cam_sum(z, cam_s, V, lay)  # MXU one-hot or cam-ELL reshape-sum
         if psum is not None:
             coup = psum(coup)
         out = jnp.einsum("vij,vj->vi", U_hat, xz) - coup
@@ -377,7 +491,7 @@ def _reduce_and_solve(
     psum: Callable[[Array], Array] | None = None,
     damping: Array | None = None,
     sorted_by_point: bool = False,
-    ell_rows: int = 0,
+    lay: ObsLayout = ObsLayout(),
 ):
     """Schur reduction + reduced camera solve + point back-substitution.
 
@@ -398,10 +512,9 @@ def _reduce_and_solve(
     # b_red = b_c - G D^-1 b_p, from per-observation W blocks
     y = jnp.einsum("mcd,md->mc", Dinv, b_p)  # (M,3)
     contrib = jnp.einsum(
-        "oic,oc->oi", W, _point_gather(y, obs.point, ell_rows)
+        "oic,oc->oi", W, _point_gather(y, obs.point, lay)
     )  # (O,7)
-    oh_cam = jax.nn.one_hot(obs.cam, V, dtype=dtype)  # (O, V)
-    b_red = b_c - jnp.einsum("ov,oi->vi", oh_cam, contrib)
+    b_red = b_c - _cam_sum(contrib, obs.cam, V, lay)
     if psum is not None:
         b_red = psum(b_red)
 
@@ -409,17 +522,17 @@ def _reduce_and_solve(
     if V >= config.pcg_fallback_cameras:
         dc = _solve_pcg(
             U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum, config,
-            sorted_by_point, ell_rows,
+            sorted_by_point, lay,
         )
     else:
         b_red = jnp.where(pin[:, None], 0.0, b_red)
         dc = _solve_dense(
-            U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum, ell_rows
+            U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum, lay
         )
 
     # back-substitute points: dp_m = Dinv (b_p - sum_{o in m} W_o^T dc_{cam o})
     t = jnp.einsum("oic,oi->oc", W, dc[obs.cam])  # (O,3)
-    Gt_dc = _point_sum(t, obs.point, D.shape[0], sorted_by_point, ell_rows)
+    Gt_dc = _point_sum(t, obs.point, D.shape[0], sorted_by_point, lay)
     dp = jnp.einsum("mcd,md->mc", Dinv, b_p - Gt_dc)
     return dc, dp
 
@@ -433,15 +546,14 @@ def _apply_step(state: BAState, dc: Array, dp: Array) -> BAState:
     return BAState(C=C, q=q, X=X, cam_valid=state.cam_valid, pt_valid=state.pt_valid)
 
 
-def _lm_body(st, lam, obs, config, psum, sorted_by_point, ell_rows=0):
+def _lm_body(st, lam, obs, config, psum, sorted_by_point, lay=ObsLayout()):
     U, D, W, b_c, b_p, cost = _assemble(
-        st, obs, config, sorted_by_point, ell_rows
+        st, obs, config, sorted_by_point, lay
     )
     if psum is not None:
         cost = psum(cost)  # cost must be global for the accept test
     dc, dp = _reduce_and_solve(
-        U, D, W, b_c, b_p, st, obs, config, psum, lam, sorted_by_point,
-        ell_rows,
+        U, D, W, b_c, b_p, st, obs, config, psum, lam, sorted_by_point, lay
     )
     return _apply_step(st, dc, dp), cost
 
@@ -464,20 +576,28 @@ def run_bundle_adjustment(
     # canonicalise the observation layout ONCE per BA call, hoisted out of
     # the LM/CG loops: ELL (default) turns every point-axis reduction into
     # a dense reshape-sum and every point gather into a broadcast — no
-    # scatter/segment-sum per iteration; CSR keeps the round-2 sorted
-    # segment-sum stream.
-    ell_rows = 0
+    # scatter/segment-sum per iteration (a short CSR tail absorbs
+    # over-``ell_rows`` tracks when ``config.ell_tail`` is set); CSR keeps
+    # the round-2 sorted segment-sum stream.
+    lay = ObsLayout()
     if config.obs_layout == "ell":
-        ell_rows = config.ell_rows or state.C.shape[0]
-        obs = _to_ell(obs, state.X.shape[0], ell_rows)
+        rows = config.ell_rows or state.C.shape[0]
+        obs = _to_ell(obs, state.X.shape[0], rows, config.ell_tail)
+        lay = lay._replace(ell_rows=rows, tail=config.ell_tail)
     else:
         obs = _sort_obs_by_point(obs)
+    if config.cam_rows:
+        perm, mask = compute_cam_ell(
+            obs.cam, obs.valid, state.C.shape[0], config.cam_rows
+        )
+        lay = lay._replace(
+            cam_rows=config.cam_rows, cam_perm=perm, cam_mask=mask
+        )
 
     def body(carry, _):
         st, lam = carry
         cand, cost = _lm_body(
-            st, lam, obs, config, psum, sorted_by_point=True,
-            ell_rows=ell_rows,
+            st, lam, obs, config, psum, sorted_by_point=True, lay=lay
         )
         if not config.adaptive:
             return (cand, lam), cost
@@ -486,8 +606,7 @@ def run_bundle_adjustment(
         # systematically rejects improving steps on contaminated maps (raw
         # >= Huber always, so outliers inflate only the candidate's side)
         new_cost = total_reprojection_cost(
-            cand, obs, psum, huber_delta=config.huber_delta,
-            ell_rows=ell_rows,
+            cand, obs, psum, huber_delta=config.huber_delta, lay=lay
         )
         accept = new_cost < cost
         st_next = jax.tree_util.tree_map(
@@ -510,7 +629,7 @@ def total_reprojection_cost(
     obs: BAObservations,
     psum: Callable[[Array], Array] | None = None,
     huber_delta: float = 0.0,
-    ell_rows: int = 0,
+    lay: ObsLayout = ObsLayout(),
 ) -> Array:
     """Sum of squared normalised-coordinate residuals over valid
     observations. With ``huber_delta > 0`` residuals are IRLS-weighted
@@ -520,7 +639,7 @@ def total_reprojection_cost(
     res, _, _ = batched_residual_jacobians(
         state.C[obs.cam],
         state.q[obs.cam],
-        _point_gather(state.X, obs.point, ell_rows),
+        _point_gather(state.X, obs.point, lay),
         obs.uv_norm,
     )
     w = huber_weights(res, huber_delta) * obs.valid.astype(res.dtype)

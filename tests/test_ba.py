@@ -230,3 +230,57 @@ def test_pallas_assemble_matches_xla():
     np.testing.assert_allclose(
         np.asarray(out1.C), np.asarray(out2.C), atol=1e-3
     )
+
+
+def test_hybrid_ell_and_cam_ell_match_csr():
+    """Hybrid ELL (ell_rows below the max track length + CSR spill tail)
+    and the camera-ELL reduction must reproduce the CSR-layout result
+    exactly — same observations, different layout, identical math up to
+    reduction order."""
+    clean, obs, K = make_scene(n_views=6, n_points=60, cap_v=8, cap_m=128, cap_o=1024)
+    noisy = perturb(clean)
+    base = dict(iterations=8, damping=5.0, fix_first_camera_gauge=True)
+    cfg_csr = BAConfig(obs_layout="csr", **base)
+    # every point has 6 observations: rows=2 spills 4 per point into the tail
+    cfg_hyb = BAConfig(
+        obs_layout="ell", ell_rows=2, ell_tail=60 * 4 + 32, cam_rows=64, **base
+    )
+    out_c, costs_c = run_bundle_adjustment(noisy, obs, cfg_csr)
+    out_h, costs_h = run_bundle_adjustment(noisy, obs, cfg_hyb)
+    np.testing.assert_allclose(
+        np.asarray(costs_h), np.asarray(costs_c), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_h.C), np.asarray(out_c.C), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_h.X), np.asarray(out_c.X), atol=1e-5
+    )
+    # and under the PCG reduced solve (the whole-trajectory regime)
+    pcg = dict(base, pcg_fallback_cameras=1, pcg_iterations=96)
+    out_cp, _ = run_bundle_adjustment(noisy, obs, BAConfig(obs_layout="csr", **pcg))
+    out_hp, _ = run_bundle_adjustment(
+        noisy, obs,
+        BAConfig(obs_layout="ell", ell_rows=2, ell_tail=60 * 4 + 32,
+                 cam_rows=64, **pcg),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_hp.C), np.asarray(out_cp.C), atol=1e-4
+    )
+
+
+def test_choose_ell_rows_histogram():
+    """The host-side layout chooser: cost-optimal rows from the track
+    histogram, exact spill count."""
+    from structure_from_motion_tpu.models.global_ba import _choose_ell_rows
+
+    # 1000 points with 6 obs, 3 points with 500 obs: rows must stay near 6
+    counts = np.concatenate([np.full(1000, 6), np.full(3, 500)])
+    rows, spilled = _choose_ell_rows(counts, m_pad=1024)
+    assert rows <= 12, rows
+    assert spilled == int(np.maximum(counts - rows, 0).sum())
+    # uniform tracks: no reason to spill anything
+    rows_u, spilled_u = _choose_ell_rows(np.full(100, 4), m_pad=128)
+    assert rows_u == 4 and spilled_u == 0
+    # empty problem
+    assert _choose_ell_rows(np.zeros(0, int), 128) == (1, 0)
