@@ -4,15 +4,18 @@ Prints ONE JSON line:
     {"metric": "upenn_frames_per_s", "value": ..., "unit": "frames/s",
      "vs_baseline": ..., ...extras}
 
-- frames/s: full native pipeline (on-device DoG frontend -> matching ->
-  PnP -> triangulation -> bundle adjustment) over the 6-image upenn
-  sequence, steady-state (compile excluded by a warm-up pass over the same
-  shapes). Frontend config: 1024 keypoints, NO first-octave upsampling
-  (the throughput config).
-- reprojection_px_1024kp: quality of that same throughput config.
-- reprojection_px_1024kp_upsampled: quality of the 2x-first-octave config
-  (the accuracy config; beats the cv2-SIFT oracle frontend) — measured in
-  a separate untimed pass.
+- frames/s (the headline `value`): full native pipeline (on-device DoG
+  frontend -> matching -> PnP -> triangulation -> bundle adjustment) over
+  the 6-image upenn sequence at the DEFAULT config — 1024 keypoints, 2x
+  first octave, ratio 0.75 — the accuracy configuration every no-flags
+  `reconstruct` run ships (VERDICT r3 item 4). Steady-state: compile
+  excluded by a warm-up pass over the same shapes.
+- throughput_config_frames_per_s: the same pipeline without the 2x first
+  octave (--no-upsample), the speed-over-quality configuration.
+- reprojection_px_1024kp: quality of that throughput config.
+- reprojection_px_1024kp_upsampled: quality of the default (accuracy)
+  config (beats the cv2-SIFT oracle frontend) — measured on the SAME runs
+  that time the headline.
 - *_sol_pct: percent of the analytic speed-of-light (roofline) time for
   the kernel (utils/roofline.py). These kernels are gather/scatter and
   top-k bound, which the roofline does not price — low numbers localise
@@ -22,7 +25,9 @@ Prints ONE JSON line:
   `python3 ba_processor.py`, measured 2026-08-16: see REFERENCE_SECONDS).
 
 Runs on whatever device jax picks (the real TPU under the axon tunnel;
-CPU elsewhere). Keep it under ~10 minutes.
+CPU elsewhere). Budget: ~12 minutes on the tunnelled chip (measured; two
+pipeline configs x 4 seeds + the batched engines pay one compile each —
+the compiles, not the measurements, are the bulk of the wall time).
 """
 
 from __future__ import annotations
@@ -252,12 +257,12 @@ def bench_pipeline():
     )
 
     # ---- batched throughput ---------------------------------------------
-    # B sequences advance in lockstep via vmap. Measured reality (see
-    # README): a single sequence already saturates the chip, and the
-    # capacity-adaptive buckets cannot vmap (lax.switch under vmap runs
-    # every branch), so lanes run at full capacity and the B=8 aggregate
-    # lands BELOW the bucketed single-sequence number (~0.7x) — reported
-    # as its own labeled number, never as the headline.
+    # B sequences advance in lockstep via vmap, with the capacity-adaptive
+    # bucket switch hoisted out of the batch axis (models/batched.py) so
+    # bucketing works under vmap. Since the round-3 detect/PnP fixes one
+    # sequence no longer saturates the chip, so the B=8 aggregate lands
+    # ABOVE single-sequence — reported as its own labeled number, never as
+    # the headline (lockstep aggregate is not per-sequence latency).
     B = 8
     frame_batches = [jax.device_put(np.stack([np.asarray(im)] * B)) for im in imgs]
     warm_b = BatchedIncrementalSfM(cfg, K, batch=B, frontend="native")
@@ -278,7 +283,9 @@ def bench_pipeline():
     # trip. 320x240 frames, 256 kp, small capacities; B=8 lanes vs the
     # same config single-sequence.
     cfg_s = PipelineConfig(
-        frontend=FrontendConfig(max_keypoints=256, num_octaves=3),
+        frontend=FrontendConfig(
+            max_keypoints=256, num_octaves=3, upsample_first_octave=False,
+        ),
         matcher=MatcherConfig(ratio=0.8),
         capacity=CapacityConfig(
             max_views=8, max_keypoints=256, max_points=2048,
@@ -331,7 +338,7 @@ def bench_pipeline():
     span = float(np.linalg.norm(o_locs.max(0) - o_locs.min(0)))
     float_frames = [jax.device_put(f) for f in float_frames]
     errs_up, ates_up = [], []
-    acc_fps = 0.0
+    acc_fps_seeds = []
     for seed in range(4):
         engine_q = IncrementalSfM(
             cfg_q, K, frontend="native", seed=seed, collect_metrics=False
@@ -341,7 +348,7 @@ def bench_pipeline():
             engine_q.process_image(fr)
         int(engine_q.state.num_points)  # fetch barrier
         if seed > 0:  # seed 0 pays the compile; later seeds measure
-            acc_fps = max(acc_fps, len(float_frames) / (time.perf_counter() - t0))
+            acc_fps_seeds.append(len(float_frames) / (time.perf_counter() - t0))
         engine_q.finalize(iterations=10)
         errs_up.append(float(engine_q.reprojection_error()))
         locs, _ = engine_q.poses()
@@ -350,7 +357,7 @@ def bench_pipeline():
 
     extras = {
         "sequence_latency_s": round(seq_latency, 3),
-        "single_seq_frames_per_s": round(len(imgs) / seq_latency, 4),
+        "throughput_config_frames_per_s": round(len(imgs) / seq_latency, 4),
         "batch": B,
         "batch_aggregate_frames_per_s": round(B * len(imgs) / dt_b, 4),
         "small_seq_frames_per_s": round(len(imgs_s) / dt_small_1, 4),
@@ -363,7 +370,7 @@ def bench_pipeline():
         "sequence), and ~1.7x on small sequences",
         "reprojection_px_1024kp": round(reproj_thr, 4),
         "reprojection_px_1024kp_seeds": [round(e, 3) for e in errs_thr],
-        "accuracy_config_frames_per_s": round(acc_fps, 4),
+        "accuracy_config_frames_per_s_seeds": [round(f, 3) for f in acc_fps_seeds],
         "reprojection_px_1024kp_upsampled": round(reproj_upsampled, 4),
         "reprojection_px_1024kp_upsampled_seeds": [round(e, 3) for e in errs_up],
         "ate_vs_cv2_oracle_pct_span": round(float(np.median(ates_up)), 3),
@@ -372,7 +379,10 @@ def bench_pipeline():
         "quality_note": "reprojection medians over seeds 0-3 (single-seed "
         "spread is ~±0.3 px on this 6-frame sequence)",
     }
-    return len(imgs) / seq_latency, extras
+    # headline = the DEFAULT config (accuracy: 2x first octave, ratio 0.75)
+    # — the configuration a no-flags `reconstruct` run ships; median over
+    # the warm seeds
+    return float(np.median(acc_fps_seeds)), extras
 
 
 def main():

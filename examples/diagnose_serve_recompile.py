@@ -17,7 +17,7 @@ text — if the round trip denormalizes the program (e.g. VHLO upgrade
 expands composites, drops mhlo attributes, or loses donation/layout
 hints), the histogram diff names the ops responsible.
 
-Writes SERVE_DIAG_r03.json. Run on the real TPU (no args).
+Writes SERVE_DIAG_r04.json. Run on the real TPU (no args).
 """
 
 from __future__ import annotations
@@ -54,7 +54,7 @@ def main() -> int:
     from structure_from_motion_tpu.models import IncrementalSfM, incremental as I
 
     cfg = PipelineConfig(
-        frontend=FrontendConfig(max_keypoints=1024),
+        frontend=FrontendConfig(max_keypoints=1024, upsample_first_octave=False),
         capacity=CapacityConfig(
             max_views=8, max_keypoints=1024, max_points=8192,
             max_observations=32768,
@@ -132,7 +132,7 @@ def main() -> int:
         "deserialized": len(reloaded_text) // 1024,
     }
 
-    path = os.path.join(os.path.dirname(__file__), "..", "SERVE_DIAG_r03.json")
+    path = os.path.join(os.path.dirname(__file__), "..", "SERVE_DIAG_r04.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))

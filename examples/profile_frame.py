@@ -52,7 +52,9 @@ def main():
     args = ap.parse_args()
 
     cfg = PipelineConfig(
-        frontend=FrontendConfig(max_keypoints=args.kp, num_octaves=4),
+        frontend=FrontendConfig(
+            max_keypoints=args.kp, num_octaves=4, upsample_first_octave=False
+        ),
         matcher=MatcherConfig(ratio=0.8),
         capacity=CapacityConfig(
             max_views=8, max_keypoints=args.kp, max_points=8192,

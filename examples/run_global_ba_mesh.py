@@ -66,7 +66,7 @@ def main() -> int:
     from structure_from_motion_tpu.models.global_ba import build_global_problem
 
     cfg = PipelineConfig(
-        frontend=FrontendConfig(max_keypoints=args.max_kp),
+        frontend=FrontendConfig(max_keypoints=args.max_kp, upsample_first_octave=False),
         capacity=CapacityConfig(
             max_views=args.window,
             max_keypoints=args.max_kp,

@@ -88,7 +88,7 @@ def main():
 
     K, frames, C_gt = make_sequence(args.frames, args.points, args.kp_cap)
     cfg = PipelineConfig(
-        frontend=FrontendConfig(max_keypoints=args.kp_cap),
+        frontend=FrontendConfig(max_keypoints=args.kp_cap, upsample_first_octave=False),
         matcher=MatcherConfig(ratio=0.9),
         fundamental_ransac=RansacConfig(inlier_threshold=2.0, iteration=256),
         pnp_ransac=RansacConfig(inlier_threshold=8.0, sample_num=6, iteration=512),

@@ -38,6 +38,12 @@ def main() -> int:
     ap.add_argument("--global-ba-iters", type=int, default=20)
     ap.add_argument("--global-ba-shards", type=int, default=1)
     ap.add_argument(
+        "--save-state", default="",
+        help="checkpoint the engine (pre-global-BA) to this path so the "
+        "same reassembled whole-trajectory problem can be re-solved on a "
+        "device mesh (examples/run_global_ba_mesh.py)",
+    )
+    ap.add_argument(
         "--out",
         default=os.path.join(os.path.dirname(__file__), "..", "SYNTHGT_r03.json"),
     )
@@ -72,7 +78,7 @@ def main() -> int:
     )
 
     cfg = PipelineConfig(
-        frontend=FrontendConfig(max_keypoints=args.max_kp),
+        frontend=FrontendConfig(max_keypoints=args.max_kp, upsample_first_octave=False),
         matcher=MatcherConfig(ratio=0.85),
         fundamental_ransac=RansacConfig(inlier_threshold=2.0, iteration=256),
         pnp_ransac=RansacConfig(inlier_threshold=8.0, sample_num=6, iteration=512),
@@ -117,6 +123,10 @@ def main() -> int:
     span = float(np.linalg.norm(C_gt.max(0) - C_gt.min(0)))
     stats = reprojection_stats(engine.state)
     problems = validate_state(engine.state)
+
+    if args.save_state:
+        engine.save_checkpoint(args.save_state)
+        print(f"pre-global-BA checkpoint -> {args.save_state}")
 
     t_gba = time.time()
     gba = engine.finalize_global(

@@ -100,13 +100,27 @@ def main() -> int:
     with open(os.path.join(UPENN, "results", "view_pose.pkl"), "rb") as fh:
         g_locs, g_rots = pickle.load(fh)
 
+    # second, unbiased-ish anchor: a pure-cv2 incremental trajectory over
+    # the same 6 source frames (the golden pkl is the REFERENCE solver's own
+    # output, bugs included — VERDICT r3: global BA moved ATE-vs-golden UP
+    # while cost fell, which only an independent anchor can adjudicate)
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location(
+        "oracle_crosscheck",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "oracle_crosscheck.py"),
+    )
+    _oc = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_oc)
+    o_locs, _ = _oc.cv2_trajectory(imgs, upenn_intrinsics())
+
     # ping-pong schedule over the 6 source images
     fwd = list(range(6))
     cycle = fwd + fwd[-2:0:-1]  # 0 1 2 3 4 5 4 3 2 1
     schedule = [cycle[t % len(cycle)] for t in range(args.frames)]
 
     cfg = PipelineConfig(
-        frontend=FrontendConfig(max_keypoints=args.max_kp),
+        frontend=FrontendConfig(max_keypoints=args.max_kp, upsample_first_octave=False),
         capacity=CapacityConfig(
             max_views=args.window,
             max_keypoints=args.max_kp,
@@ -170,8 +184,11 @@ def main() -> int:
     locs, rots = engine.poses()
     assert locs.shape[0] == args.frames, locs.shape
     gt = np.stack([g_locs[s] for s in schedule])
+    gt_oracle = np.stack([o_locs[s] for s in schedule])
     ate = absolute_trajectory_error(locs, gt)
+    ate_o = absolute_trajectory_error(locs, gt_oracle)
     span = float(np.linalg.norm(g_locs.max(0) - g_locs.min(0)))
+    span_o = float(np.linalg.norm(o_locs.max(0) - o_locs.min(0)))
 
     # revisit consistency: spread of estimated centers across all visits of
     # the same source image, after aligning the trajectory to the golden
@@ -202,6 +219,7 @@ def main() -> int:
     gba_wall = time.time() - t_gba
     locs_g, _ = engine.poses()
     ate_after = absolute_trajectory_error(locs_g, gt)
+    ate_after_o = absolute_trajectory_error(locs_g, gt_oracle)
 
     report = {
         "config": "BASELINE configs[3]: mid-size real-imagery sequence, native frontend",
@@ -216,6 +234,8 @@ def main() -> int:
         "reprojection_px": {k: round(v, 4) for k, v in stats.items()},
         "ate_vs_golden_loop": round(ate, 4),
         "ate_pct_of_span": round(100 * ate / span, 2),
+        "ate_vs_cv2_oracle": round(ate_o, 4),
+        "ate_vs_cv2_oracle_pct_of_span": round(100 * ate_o / span_o, 2),
         "global_ba": {
             "iterations": args.global_ba_iters,
             "num_shards": args.global_ba_shards,
@@ -228,6 +248,10 @@ def main() -> int:
             "wall_s": round(gba_wall, 1),
             "ate_after_global_ba": round(ate_after, 4),
             "ate_after_pct_of_span": round(100 * ate_after / span, 2),
+            "ate_after_vs_cv2_oracle": round(ate_after_o, 4),
+            "ate_after_vs_cv2_oracle_pct_of_span": round(
+                100 * ate_after_o / span_o, 2
+            ),
         },
         "revisit_center_spread_mean": round(float(np.mean(spreads)), 4),
         "live_points": int(engine.state.num_points),

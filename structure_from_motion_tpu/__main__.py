@@ -41,10 +41,15 @@ def _build_config(args) -> "PipelineConfig":
         with open(args.config) as f:
             return PipelineConfig.from_json(f.read())
 
+    # accuracy is the default price (VERDICT r3 item 4): the 2x first
+    # octave ships unless --no-upsample asks for the throughput config
+    upsample = args.detector == "dog" and not args.no_upsample
     frontend = FrontendConfig(
         detector=args.detector,
         max_keypoints=args.max_kp,
         descriptor_dim=256 if args.detector == "harris" else 128,
+        upsample_first_octave=upsample,
+        num_octaves=5 if upsample else 4,
     )
     matcher = MatcherConfig(
         ratio=args.ratio,
@@ -315,7 +320,7 @@ def cmd_selftest(args) -> int:
     from structure_from_motion_tpu.models import IncrementalSfM
 
     cfg = PipelineConfig(
-        frontend=FrontendConfig(max_keypoints=512),
+        frontend=FrontendConfig(max_keypoints=512, upsample_first_octave=False),
         matcher=MatcherConfig(ratio=0.9),
         fundamental_ransac=RansacConfig(inlier_threshold=2.0, iteration=128),
         pnp_ransac=RansacConfig(inlier_threshold=8.0, sample_num=6, iteration=256),
@@ -362,6 +367,11 @@ def main(argv=None) -> int:
     r.add_argument("--max-kp", type=int, default=2048)
     r.add_argument("--ratio", type=float, default=0.75)
     r.add_argument("--no-gate", action="store_true")
+    r.add_argument(
+        "--no-upsample", action="store_true",
+        help="throughput config: skip the 2x first octave (default is the "
+        "accuracy config, ~1.1 px median vs ~1.7 px, at lower frames/s)",
+    )
     r.add_argument("--max-views", type=int, default=16)
     r.add_argument(
         "--window-mode", choices=["stop", "slide"], default="slide",

@@ -88,8 +88,11 @@ class FrontendConfig:
     num_octaves: int = 4
     # detect octave -1 on a 2x bilinear-upsampled image (cv2-SIFT's default
     # behaviour): fine keypoints localise to half-pixel precision at the
-    # cost of one 4x-sized pyramid level
-    upsample_first_octave: bool = False
+    # cost of one 4x-sized pyramid level. DEFAULT ON since round 4 —
+    # accuracy is the default price (~1.1 px median reprojection on the
+    # upenn gates vs ~1.7 px without); pass False for the throughput
+    # config (bench.py reports both).
+    upsample_first_octave: bool = True
     scales_per_octave: int = 3
     sigma0: float = 1.6
     contrast_threshold: float = 0.015
@@ -121,6 +124,19 @@ class FrontendConfig:
     # at 1024 keypoints per 1.2M-pixel octave the per-block cap is far from
     # binding. 0 disables (bitwise round-2 behaviour).
     topk_block: int = 8
+    # gradient-buffer packing for the orientation/descriptor sampling
+    # gathers (row-latency-bound on TPU): "quad" packs all 4 bilinear taps
+    # into one (rows, 8) row — ONE gather per sample set; "pair" packs the
+    # 2 x-taps into (rows, 4) — two gathers — at half the buffer bytes
+    # (use when HBM is tight, e.g. wide-batch vmap over large images).
+    grad_pack: str = "quad"
+    # storage dtype of that buffer. The build streams the whole pyramid
+    # several times (HBM-bandwidth-bound) while the sampling gathers are
+    # row-latency-bound, so "bf16" halves the dominant build cost; the
+    # ~0.4% relative gradient error is invisible to the 36-bin orientation
+    # histogram and the normalised/clipped descriptor (quality medians
+    # unchanged on the upenn gates). "f32" restores exact round-3 numerics.
+    grad_dtype: str = "bf16"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -325,15 +341,18 @@ class PipelineConfig:
     # a lax.switch over statically-sliced variants, picked on device by
     # num_points/num_obs. Measured on the upenn config (1.8k live obs in a
     # 32k-slot store): 19 ms -> <4 ms for the 3-iteration BA. Costs one
-    # extra compile per bucket. Disabled automatically under vmap
-    # (BatchedIncrementalSfM), where lax.switch executes every branch.
+    # extra compile per bucket. Under vmap (BatchedIncrementalSfM) the
+    # bucket switch is hoisted OUT of the batch axis — one shared bucket
+    # from the max live count across lanes — so bucketing works there too
+    # (models/batched.py).
     ba_bucketing: bool = True
     # Same idea for the localization stage: the PnP 2D-3D candidate set and
     # the new-match triangulation candidate set live in (V*K)-sized flat
     # slabs but typically hold a few hundred live entries. With this on,
     # live candidates are packed to the front (one top_k) and the PnP
     # solve / triangulation LM run on the smallest power-of-2 bucket that
-    # holds them (lax.switch). Disabled automatically under vmap.
+    # holds them (lax.switch). Under vmap the bucket choice is hoisted out
+    # of the batch axis like ba_bucketing (models/batched.py).
     localize_bucketing: bool = True
 
     # -- (de)serialisation -------------------------------------------------

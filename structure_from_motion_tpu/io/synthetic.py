@@ -106,6 +106,37 @@ def _look_at(C: np.ndarray, target: np.ndarray, roll: float = 0.0) -> np.ndarray
     return np.stack([x, y, z], axis=1)  # columns = camera axes in world
 
 
+def synthetic_scene_poses(
+    n_frames: int = 100,
+    size: tuple = (480, 640),
+    path_scale: float = 1.0,
+    loops: float = 1.0,
+):
+    """(K, C_gt (F,3), R_gt (F,3,3)) of :func:`synthetic_scene_sequence`
+    WITHOUT rendering the images — the camera path is analytic, so drivers
+    that re-score a checkpointed run (e.g. the mesh-sharded global-BA
+    re-solve) can rebuild the exact ground truth for free. Poses are
+    independent of the texture ``seed``."""
+    K = default_synthetic_K(size)
+    t = np.linspace(0.0, loops * 2 * np.pi, n_frames, endpoint=False)
+    C_gt = np.stack(
+        [
+            2.4 * path_scale * np.sin(t),
+            0.9 * path_scale * np.sin(2 * t + 0.9),
+            1.8 * path_scale * np.sin(0.5 * t + 0.3),
+        ],
+        axis=1,
+    )
+    target = np.array([1.0, -0.5, 12.0])
+    R_gt = np.stack(
+        [
+            _look_at(C_gt[i], target, roll=0.08 * np.sin(3 * t[i]))
+            for i in range(n_frames)
+        ]
+    )
+    return K, C_gt, R_gt
+
+
 def synthetic_scene_sequence(
     n_frames: int = 100,
     size: tuple = (480, 640),
@@ -125,7 +156,7 @@ def synthetic_scene_sequence(
     style) without ever duplicating a frame exactly.
     """
     H, W = size
-    K = default_synthetic_K(size)
+    K, C_gt, R_gt = synthetic_scene_poses(n_frames, size, path_scale, loops)
     Kinv = np.linalg.inv(K)
     textures = [_texture(seed + 7 * i) for i in range(len(_PLANES))]
 
@@ -135,20 +166,6 @@ def synthetic_scene_sequence(
         np.arange(H, dtype=np.float64) + 0.5,
     )
     rays_cam = np.stack([u, v, np.ones_like(u)], axis=-1) @ Kinv.T  # (H,W,3)
-
-    t = np.linspace(0.0, loops * 2 * np.pi, n_frames, endpoint=False)
-    C_gt = np.stack(
-        [
-            2.4 * path_scale * np.sin(t),
-            0.9 * path_scale * np.sin(2 * t + 0.9),
-            1.8 * path_scale * np.sin(0.5 * t + 0.3),
-        ],
-        axis=1,
-    )
-    target = np.array([1.0, -0.5, 12.0])
-    R_gt = np.stack(
-        [_look_at(C_gt[i], target, roll=0.08 * np.sin(3 * t[i])) for i in range(n_frames)]
-    )
 
     imgs = np.empty((n_frames, H, W), np.uint8)
     for f in range(n_frames):

@@ -490,23 +490,32 @@ class _FlatPyramid(NamedTuple):
     """Per-octave gaussian stacks flattened into one gradient buffer so
     every read over selected keypoints is a single gather — the per-level
     masked gather loop this replaces dominated the whole detect stage
-    (measured ~7x on TPU at 1024 keypoints). gx/gy are PAIRED as the two
-    channels of one (rows, 2) buffer: pyramid gathers are row-latency-bound
-    on this chip (~70k rows/ms regardless of row width), so one 2-wide
-    gather costs half of two 1-wide ones."""
+    (measured ~7x on TPU at 1024 keypoints). gx/gy are PACKED into wider
+    rows: pyramid gathers are row-latency-bound on this chip (~70k rows/ms
+    regardless of row width), so one wide gather costs half of two narrow
+    ones. Two layouts (``FrontendConfig.grad_pack``):
 
-    g4: Array  # (total_rows, 4) paired (gx, gy) of pixels i and i+1
+    * ``"pair"`` (rows, 4): row i = (gx, gy) of pixels i and i+1 — both
+      x-taps of a bilinear sample in one row; 2 gathers per sample set.
+    * ``"quad"`` (rows, 8): row i = (gx, gy) of the full 2x2 quad
+      (i, i+1, i+w, i+w+1) — ALL FOUR taps in one row; 1 gather per
+      sample set, half the rows of "pair" for 2x the bytes (gathers are
+      row-latency-bound, so rows are the price that matters)."""
+
+    g4: Array  # (total_rows, 4|8) packed (gx, gy) taps (see docstring)
     base: Array  # (n,) flat row offset of each keypoint's octave
     h: Array  # (n,) octave image height
     w: Array  # (n,) octave image width
     hw: Array  # (n,) h * w
 
 
-def _flat_gradients(gauss_octs: list) -> Array:
-    """(total_rows, 2) = (gx, gy) of every octave stack — the keypoint-
-    independent part of :func:`_flat_pyramid`, built ONCE per frame even
-    when keypoint selections change downstream (the orientation pass and
-    the post-duplication descriptor pass select different octave rows;
+def _flat_gradients(
+    gauss_octs: list, pack: str = "pair", dtype: str = "f32"
+) -> Array:
+    """Packed (gx, gy) of every octave stack — the keypoint-independent
+    part of :func:`_flat_pyramid`, built ONCE per frame even when keypoint
+    selections change downstream (the orientation pass and the
+    post-duplication descriptor pass select different octave rows;
     rebuilding the whole-pyramid gradient buffer for each was the single
     biggest slice of the detect stage).
 
@@ -516,12 +525,41 @@ def _flat_gradients(gauss_octs: list) -> Array:
     border-8 keypoints reach rows/cols 0 and H-1/W-1, where a
     cross-image gradient corrupts the dominant orientation.
 
-    PAIRED layout (rows, 4): row i = (gx_i, gy_i, gx_{i+1}, gy_{i+1}) —
+    ``pack="pair"`` (rows, 4): row i = (gx_i, gy_i, gx_{i+1}, gy_{i+1}) —
     both x-taps of a bilinear sample live in ONE row, so sampling needs 2
-    gathers (the two y-taps) instead of 4. Pyramid gathers are row-latency
-    bound on TPU (~70-80k rows/ms; traced at ~3.3 ms per 262k-row gather,
-    the dominant detect slice), so halving the row count buys more than the
-    2x buffer it costs."""
+    gathers (the two y-taps) instead of 4. ``pack="quad"`` (rows, 8)
+    additionally packs the NEXT IMAGE ROW's pair (pixels i+w, i+w+1), so
+    all four taps of a bilinear sample live in one row and sampling is ONE
+    gather. Pyramid gathers are row-latency bound on TPU (~70-80k rows/ms
+    regardless of row width; traced at ~3.3 ms per 262k-row gather, the
+    dominant detect slice), so each halving of the row count buys more
+    than the 2x buffer bytes it costs. Quad rows are built per octave with
+    zero padding at each level's bottom/right edge — those slots are never
+    selected (the sampler clips gather coords to (h-2, w-2) and masks taps
+    outside the image), so their value is irrelevant.
+
+    ``dtype`` (FrontendConfig.grad_dtype): the BUILD is HBM-bandwidth-bound
+    (it streams the whole pyramid several times) while the downstream
+    gathers are row-latency-bound — storing bfloat16 halves the build
+    traffic for a ~0.4% relative gradient error that the 36-bin orientation
+    histogram and the normalised/clipped descriptor cannot see (quality
+    medians unchanged on the upenn gates; samplers upcast to f32 after the
+    gather)."""
+    dt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+    if pack == "quad":
+        outs = []
+        for g in gauss_octs:  # (L, H, W)
+            g2 = jnp.stack(
+                [jnp.gradient(g, axis=2), jnp.gradient(g, axis=1)], axis=-1
+            ).astype(dt)  # (L, H, W, 2)
+            zc = ((0, 0), (0, 0), (0, 1), (0, 0))
+            zr = ((0, 0), (0, 1), (0, 0), (0, 0))
+            right = jnp.pad(g2[:, :, 1:], zc)
+            down = jnp.pad(g2[:, 1:], zr)
+            downright = jnp.pad(g2[:, 1:, 1:], (zr[0], zr[1], zc[2], zc[3]))
+            g8 = jnp.concatenate([g2, right, down, downright], axis=-1)
+            outs.append(g8.reshape(-1, 8))
+        return jnp.concatenate(outs)
     g2 = jnp.concatenate(
         [
             jnp.stack(
@@ -530,7 +568,7 @@ def _flat_gradients(gauss_octs: list) -> Array:
                     jnp.gradient(g, axis=1).reshape(-1),
                 ],
                 axis=-1,
-            )
+            ).astype(dt)
             for g in gauss_octs
         ]
     )
@@ -539,12 +577,16 @@ def _flat_gradients(gauss_octs: list) -> Array:
 
 
 def _flat_pyramid(
-    gauss_octs: list, oct_idx: Array, g4: Array | None = None
+    gauss_octs: list,
+    oct_idx: Array,
+    g4: Array | None = None,
+    pack: str = "pair",
+    dtype: str = "f32",
 ) -> _FlatPyramid:
     import numpy as _np
 
     if g4 is None:
-        g4 = _flat_gradients(gauss_octs)
+        g4 = _flat_gradients(gauss_octs, pack, dtype)
     sizes = [g.shape[1] * g.shape[2] for g in gauss_octs]  # H_o * W_o (static)
     bases = _np.cumsum([0] + [g.size for g in gauss_octs])[:-1]
     return _FlatPyramid(
@@ -556,16 +598,68 @@ def _flat_pyramid(
     )
 
 
+def _bilinear_sample_quad(
+    pyr: _FlatPyramid, s: Array, sx: Array, sy: Array
+) -> Array:
+    """Bilinear (gx, gy) sampling from the QUAD-packed gradient buffer:
+    ONE gather per sample set — row (yg, xg) of ``pyr.g4`` carries all
+    four taps of the 2x2 bilinear quad. Gather coords clip to
+    (h-2, w-2); which half/row of the packed quad serves each tap is a
+    select on (x0 == xg, y0 == yg), and taps outside the image mask to
+    zero — same semantics as :func:`_bilinear_sample_flat` (parity-tested
+    in test_features.py)."""
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0)[..., None]
+    fy = (sy - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    h = pyr.h[:, None]
+    w = pyr.w[:, None]
+    start = (pyr.base + s * pyr.hw)[:, None]
+    xg = jnp.clip(x0i, 0, w - 2)
+    yg = jnp.clip(y0i, 0, h - 2)
+    v = pyr.g4[start + yg * w + xg].astype(jnp.float32)  # (n, T, 8)
+    q00, q01 = v[..., 0:2], v[..., 2:4]
+    q10, q11 = v[..., 4:6], v[..., 6:8]
+    selx = (x0i == xg)[..., None]
+    sely = (y0i == yg)[..., None]
+    # packed rows serving taps y0 (a) and y0+1 (b), each at (xg, xg+1)
+    a_lo = jnp.where(sely, q00, q10)
+    a_hi = jnp.where(sely, q01, q11)
+    b_lo = jnp.where(sely, q10, q00)
+    b_hi = jnp.where(sely, q11, q01)
+    inx0 = ((x0i >= 0) & (x0i < w))[..., None]
+    inx1 = ((x0i + 1 >= 0) & (x0i + 1 < w))[..., None]
+    iny0 = ((y0i >= 0) & (y0i < h))[..., None]
+    iny1 = ((y0i + 1 >= 0) & (y0i + 1 < h))[..., None]
+    v00 = jnp.where(selx, a_lo, a_hi) * (inx0 & iny0)
+    v01 = jnp.where(selx, a_hi, a_lo) * (inx1 & iny0)
+    v10 = jnp.where(selx, b_lo, b_hi) * (inx0 & iny1)
+    v11 = jnp.where(selx, b_hi, b_lo) * (inx1 & iny1)
+    return (
+        v00 * (1 - fy) * (1 - fx)
+        + v01 * (1 - fy) * fx
+        + v10 * fy * (1 - fx)
+        + v11 * fy * fx
+    )
+
+
 def _bilinear_sample_paired(
     pyr: _FlatPyramid, s: Array, sx: Array, sy: Array
 ) -> Array:
-    """Bilinear (gx, gy) sampling from the PAIRED flat gradient buffer:
-    2 gathers per sample set (one per y-tap) instead of 4 — row i of
+    """Bilinear (gx, gy) sampling from the packed flat gradient buffer.
+
+    Dispatches on the pack width: (rows, 8) quad buffers take the
+    one-gather path (:func:`_bilinear_sample_quad`); (rows, 4) paired
+    buffers use 2 gathers (one per y-tap) instead of 4 — row i of
     ``pyr.g4`` carries both x-taps (pixels i and i+1). Same math and
     zero-outside-image semantics as :func:`_bilinear_sample_flat` on the
     unpaired buffer (parity-tested in test_features.py); pyramid gathers
     are row-latency bound on TPU, so halving the row count halves the
     dominant cost of the orientation/descriptor passes."""
+    if pyr.g4.shape[-1] == 8:
+        return _bilinear_sample_quad(pyr, s, sx, sy)
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)
     fx = (sx - x0)[..., None]
@@ -588,7 +682,7 @@ def _bilinear_sample_paired(
     iny = (yy >= 0) & (yy < h)
     xg2 = jnp.concatenate([xg, xg], axis=1)
     idx = start + jnp.clip(yy, 0, h - 1) * w + xg2
-    v = pyr.g4[idx]  # (n, 2T, 4)
+    v = pyr.g4[idx].astype(jnp.float32)  # (n, 2T, 4)
     lo, hi = v[..., 0:2], v[..., 2:4]
     x0i2 = jnp.concatenate([x0i, x0i], axis=1)
     in0 = (iny & (x0i2 >= 0) & (x0i2 < w))[..., None]
@@ -986,15 +1080,25 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
     sig = jnp.asarray(sigmas, jnp.float32)[s_idx] * jnp.power(
         jnp.asarray(k_per_level, jnp.float32), soff_sel
     )
+    # s_idx <= S-1 and |soff| <= 0.5 bound s_lvl by S; the clip makes that
+    # bound structural — the gradient buffer only materialises levels
+    # [0, S] (see phase 2a below), and an index past it would silently
+    # read the next octave's rows
     s_lvl = jnp.clip(
         jnp.round(s_idx.astype(jnp.float32) + soff_sel).astype(jnp.int32),
         0,
-        n_levels - 1,
+        S,
     )
 
     # -- phase 2a: orientation peaks for the winners (one histogram pass) ---
-    g4 = _flat_gradients(gauss_octs)  # shared by orientation + descriptors
-    pyr = _flat_pyramid(gauss_octs, oct_sel, g4)
+    # shared by orientation + descriptors. Levels above S are never sampled
+    # (s_lvl = clip(round(s_idx + soff)) with s_idx <= S-1, |soff| <= 0.5),
+    # so the gradient buffer keeps only levels [0, S] of each (S+3)-level
+    # stack — a third less bandwidth in the build, which streams the whole
+    # pyramid several times and dominates the tail after quad packing.
+    grad_octs = [g[: S + 1] for g in gauss_octs]
+    g4 = _flat_gradients(grad_octs, cfg.grad_pack, cfg.grad_dtype)
+    pyr = _flat_pyramid(grad_octs, oct_sel, g4)
     angle1, angle2, has2 = _orientation_peaks(pyr, s_lvl, x, y, sig)
 
     # duplicate keypoints with a secondary orientation (Lowe's multi-peak
@@ -1018,7 +1122,7 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
     # -- phase 2b: descriptors for the final winners only -------------------
     # octaves flattened into one 1-D pyramid buffer so every sample is ONE
     # gather instead of a per-level masked loop
-    pyr = _flat_pyramid(gauss_octs, oct_sel, g4)
+    pyr = _flat_pyramid(grad_octs, oct_sel, g4)
     desc = _descriptors_for(pyr, s_lvl, x, y, sig, angle, mask)
 
     # octave -> full-resolution pixels (octave 0 is the 2x-doubled image

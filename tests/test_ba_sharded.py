@@ -192,7 +192,7 @@ def test_pipeline_with_sharded_ba_matches_single_device():
     )
 
     cfg = PipelineConfig(
-        frontend=FrontendConfig(max_keypoints=256),
+        frontend=FrontendConfig(max_keypoints=256, upsample_first_octave=False),
         matcher=MatcherConfig(ratio=0.9),
         fundamental_ransac=RansacConfig(inlier_threshold=2.0, iteration=128),
         pnp_ransac=RansacConfig(inlier_threshold=8.0, sample_num=6, iteration=256),

@@ -147,7 +147,7 @@ def test_pipeline_recovers_trajectory_from_distorted_features(
 
     Kp = upenn_intrinsics()
     base = PipelineConfig(
-        frontend=FrontendConfig(max_keypoints=max_kp),
+        frontend=FrontendConfig(max_keypoints=max_kp, upsample_first_octave=False),
         matcher=MatcherConfig(
             ratio=0.75,
             use_fundamental_gate=True,

@@ -28,7 +28,7 @@ def upenn_pair_half(reference_dataset_path):
     return i1, i2
 
 
-CFG = FrontendConfig(max_keypoints=512, num_octaves=3)
+CFG = FrontendConfig(max_keypoints=512, num_octaves=3, upsample_first_octave=False)
 
 
 def test_detector_basic_properties(upenn_pair_half):
@@ -177,7 +177,8 @@ def test_upsampled_first_octave_coordinates(upenn_pair_half):
     assert (xy_u[:, 1] >= 0).all() and (xy_u[:, 1] < h).all()
 
     kps_p, _ = detect_and_describe(
-        jnp.asarray(img), FrontendConfig(max_keypoints=256, num_octaves=3)
+        jnp.asarray(img),
+        FrontendConfig(max_keypoints=256, num_octaves=3, upsample_first_octave=False),
     )
     xy_p = np.asarray(kps_p.xy)[np.asarray(kps_p.mask)]
     d = np.sqrt(((xy_u[:, None] - xy_p[None]) ** 2).sum(-1)).min(axis=1)
@@ -223,4 +224,48 @@ def test_paired_sampler_matches_unpaired_reference():
     )
     ref = F._bilinear_sample_flat(g2, pyr.base, s, sx, sy, pyr.h, pyr.w, pyr.hw)
     got = F._bilinear_sample_paired(pyr, s, sx, sy)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_quad_sampler_matches_unpaired_reference():
+    """_bilinear_sample_quad (ONE gather over the quad-packed (rows, 8)
+    buffer — the default TPU product path, FrontendConfig.grad_pack="quad")
+    must reproduce _bilinear_sample_flat exactly, including samples outside
+    the image and taps straddling all four borders."""
+    import numpy as np
+
+    from structure_from_motion_tpu.ops import features as F
+
+    rng = np.random.default_rng(1)
+    h, w, L = 96, 112, 3
+    g3 = jnp.asarray(rng.normal(size=(L, h, w)).astype(np.float32))
+    # quad buffer built exactly like _flat_gradients(pack="quad") but from
+    # a raw per-pixel (gx, gy) field so the flat reference can share it
+    gx = jnp.gradient(g3, axis=2)
+    gy = jnp.gradient(g3, axis=1)
+    g2img = jnp.stack([gx, gy], axis=-1)  # (L, h, w, 2)
+    g2 = g2img.reshape(-1, 2)
+    g8 = F._flat_gradients([g3], "quad")
+    n, T = 32, 128
+    pyr = F._FlatPyramid(
+        g4=g8,
+        base=jnp.zeros((n,), jnp.int32),
+        h=jnp.full((n,), h, jnp.int32),
+        w=jnp.full((n,), w, jnp.int32),
+        hw=jnp.full((n,), h * w, jnp.int32),
+    )
+    s = jnp.asarray(rng.integers(0, L, n), jnp.int32)
+    x = jnp.asarray(rng.uniform(8, w - 8, n), jnp.float32)
+    sx = x[:, None] + jnp.asarray(rng.uniform(-30, 30, (n, T)), jnp.float32)
+    sy = jnp.asarray(rng.uniform(8, h - 8, n), jnp.float32)[:, None] + jnp.asarray(
+        rng.uniform(-30, 30, (n, T)), jnp.float32
+    )
+    # deterministic border cases on both axes: fractional taps straddling
+    # x = -1.5..w-0.5 crossed with y = -1.5..h-0.5
+    bx = jnp.asarray([-1.5, -0.5, w - 1.5, w - 0.5], jnp.float32)
+    by = jnp.asarray([-1.5, -0.5, h - 1.5, h - 0.5], jnp.float32)
+    sx = sx.at[:, :16].set(jnp.tile(bx, 4)[None, :])
+    sy = sy.at[:, :16].set(jnp.repeat(by, 4)[None, :])
+    ref = F._bilinear_sample_flat(g2, pyr.base, s, sx, sy, pyr.h, pyr.w, pyr.hw)
+    got = F._bilinear_sample_paired(pyr, s, sx, sy)  # dispatches on width 8
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)

@@ -67,7 +67,7 @@ def synthetic_sequence(n_views=5, n_points=300, kp_cap=512, seed=0, noise=0.0):
 @pytest.fixture(scope="module")
 def pipeline_config():
     return PipelineConfig(
-        frontend=FrontendConfig(max_keypoints=512),
+        frontend=FrontendConfig(max_keypoints=512, upsample_first_octave=False),
         matcher=MatcherConfig(ratio=0.9),
         fundamental_ransac=RansacConfig(inlier_threshold=2.0, iteration=256),
         pnp_ransac=RansacConfig(inlier_threshold=8.0, sample_num=6, iteration=512),

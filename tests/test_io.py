@@ -171,7 +171,7 @@ def test_checkpoint_resume_equivalence():
     )
 
     cfg = PipelineConfig(
-        frontend=FrontendConfig(max_keypoints=512),
+        frontend=FrontendConfig(max_keypoints=512, upsample_first_octave=False),
         matcher=MatcherConfig(ratio=0.9),
         fundamental_ransac=RansacConfig(inlier_threshold=2.0, iteration=128),
         pnp_ransac=RansacConfig(inlier_threshold=8.0, sample_num=6, iteration=256),
@@ -225,7 +225,7 @@ def test_checkpoint_resume_sliding_window_archive():
     )
 
     cfg = PipelineConfig(
-        frontend=FrontendConfig(max_keypoints=512),
+        frontend=FrontendConfig(max_keypoints=512, upsample_first_octave=False),
         matcher=MatcherConfig(ratio=0.9),
         fundamental_ransac=RansacConfig(inlier_threshold=2.0, iteration=128),
         pnp_ransac=RansacConfig(inlier_threshold=8.0, sample_num=6, iteration=256),
@@ -356,7 +356,7 @@ def test_colmap_export_roundtrip(tmp_path):
 
     K, frames, *_ = synthetic_sequence(n_views=4, n_points=200)
     cfg = PipelineConfig(
-        frontend=FrontendConfig(max_keypoints=512),
+        frontend=FrontendConfig(max_keypoints=512, upsample_first_octave=False),
         matcher=MatcherConfig(ratio=0.9),
         capacity=CapacityConfig(
             max_views=8, max_keypoints=512, max_points=4096,

@@ -27,7 +27,7 @@ from structure_from_motion_tpu.serve import (
 
 def _cfg(**kw):
     return PipelineConfig(
-        frontend=FrontendConfig(max_keypoints=512),
+        frontend=FrontendConfig(max_keypoints=512, upsample_first_octave=False),
         matcher=MatcherConfig(ratio=0.9),
         capacity=CapacityConfig(
             max_views=8, max_keypoints=512, max_points=4096,

@@ -50,7 +50,7 @@ def test_renderer_is_consistent_and_textured():
 @pytest.fixture(scope="module")
 def synth_config():
     return PipelineConfig(
-        frontend=FrontendConfig(max_keypoints=512),
+        frontend=FrontendConfig(max_keypoints=512, upsample_first_octave=False),
         matcher=MatcherConfig(ratio=0.85),
         fundamental_ransac=RansacConfig(inlier_threshold=2.0, iteration=256),
         pnp_ransac=RansacConfig(inlier_threshold=8.0, sample_num=6, iteration=512),

@@ -19,7 +19,7 @@ from structure_from_motion_tpu.models import two_view_reconstruction
 
 
 CFG = PipelineConfig(
-    frontend=FrontendConfig(max_keypoints=512),
+    frontend=FrontendConfig(max_keypoints=512, upsample_first_octave=False),
     fundamental_ransac=RansacConfig(inlier_threshold=2.0, iteration=256),
     capacity=CapacityConfig(max_views=4, max_keypoints=512, max_points=2048,
                             max_observations=8192),

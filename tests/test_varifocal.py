@@ -26,7 +26,7 @@ from structure_from_motion_tpu.models import IncrementalSfM
 
 def _cfg():
     return PipelineConfig(
-        frontend=FrontendConfig(max_keypoints=512),
+        frontend=FrontendConfig(max_keypoints=512, upsample_first_octave=False),
         matcher=MatcherConfig(ratio=0.9),
         capacity=CapacityConfig(
             max_views=8, max_keypoints=512, max_points=4096,
