@@ -226,6 +226,18 @@ class BAConfig:
     # single camera (on its shard) or the excess silently drops; size it
     # host-side from the observation histogram. 0 = one-hot matmul.
     cam_rows: int = 0
+    # Tiered ELL (obs_layout="tiered"): the observation stream arrives
+    # PRE-PACKED (models/global_ba.pack_tiered) with points renumbered in
+    # descending track-length order and partitioned into tiers; tier t
+    # covers the next n_t points with rows_t slots each, stream offset =
+    # cumulative n_t * rows_t. Every point-axis reduction is then a concat
+    # of per-tier reshape-sums DIRECTLY in point order — no scatter, no
+    # segment-sum, and no padding every point to the longest track (the
+    # single-level hybrid's failure mode on power-law track histograms:
+    # p50=2 / p95=236 / max=500 on a 500-frame revisit loop chose 106 rows
+    # = 4x-padded stream PLUS an 85k-slot segment-summed tail inside the
+    # CG loop). Static (hashable) tuple of (n_points, rows) pairs.
+    tiers: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)

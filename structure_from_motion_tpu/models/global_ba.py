@@ -48,6 +48,28 @@ def _round_up(n: int, mult: int) -> int:
     return ((max(n, 1) + mult - 1) // mult) * mult
 
 
+def _stack_archive(archive: Sequence[EvictionRecord]) -> EvictionRecord | None:
+    """One ``EvictionRecord`` of stacked host-numpy arrays (leading axis =
+    eviction order). The archive is a host list of per-record DEVICE arrays;
+    fetching them field-by-field per record costs thousands of device round
+    trips through the TPU tunnel (measured: ~270 s of the 500-camera global
+    assembly). Stacking ON DEVICE first (one concatenate dispatch per field)
+    and fetching once per field makes assembly ~7 transfers total."""
+    if not archive:
+        return None
+    # np.asarray per leaf is cheap: live-run records were async-copied to
+    # host at eviction time (incremental._begin_frame), checkpoint-loaded
+    # records are numpy already. Device-side stacking is NOT an option on
+    # the tunnelled chip — one many-operand concatenate dispatch measured
+    # minutes of wall time.
+    return EvictionRecord(
+        *[
+            np.stack([np.asarray(getattr(r, f)) for r in archive])
+            for f in EvictionRecord._fields
+        ]
+    )
+
+
 def build_global_problem(
     state: SfMState,
     archive: Sequence[EvictionRecord],
@@ -79,19 +101,20 @@ def build_global_problem(
     cam_C = np.asarray(state.cam_C)[:n_live]
     cam_q = np.asarray(state.cam_q)[:n_live]
     cam_K = np.asarray(state.K)[:n_live]
+    arc = _stack_archive(archive)
     if A:
-        cam_C = np.concatenate([np.stack([np.asarray(r.C) for r in archive]), cam_C])
-        cam_q = np.concatenate([np.stack([np.asarray(r.q) for r in archive]), cam_q])
-        cam_K = np.concatenate([np.stack([np.asarray(r.K) for r in archive]), cam_K])
+        cam_C = np.concatenate([arc.C, cam_C])
+        cam_q = np.concatenate([arc.q, cam_q])
+        cam_K = np.concatenate([arc.K, cam_K])
     F = A + n_live
 
     # -- observation union (cam, gid, uv) ---------------------------------
     cams, gids, uvs = [], [], []
-    for i, r in enumerate(archive):
-        v = np.asarray(r.valid)
-        cams.append(np.full(int(v.sum()), i, np.int32))
-        gids.append(np.asarray(r.gid)[v])
-        uvs.append(np.asarray(r.uv)[v])
+    if A:
+        v = arc.valid  # (A, Kk)
+        cams.append(np.repeat(np.arange(A, dtype=np.int32), v.sum(axis=1)))
+        gids.append(arc.gid[v])
+        uvs.append(arc.uv[v])
     lv = np.asarray(state.obs_valid)
     live_pt = np.asarray(state.obs_pt)[lv]
     cams.append(np.asarray(state.obs_cam)[lv].astype(np.int32) + A)
@@ -114,14 +137,18 @@ def build_global_problem(
     O_real = int(cam.shape[0])
 
     # -- point seeds: archived (in eviction order), live overrides --------
+    # flattened in ascending eviction order: numpy fancy assignment with
+    # duplicate indices keeps the LAST write, so later (more refined)
+    # evictions overwrite earlier ones — same semantics as the per-record
+    # loop this replaces, without A round trips
     X_seed = np.zeros((max(P_real, 1), 3), dt)
-    for r in archive:
-        v = np.asarray(r.valid)
-        g = np.asarray(r.gid)[v]
+    if A:
+        v = arc.valid
+        g = arc.gid[v]
         j = np.searchsorted(sel, g)
         j = np.clip(j, 0, max(P_real - 1, 0))
         ok = sel[j] == g if P_real else np.zeros(g.shape, bool)
-        X_seed[j[ok]] = np.asarray(r.X)[v][ok]
+        X_seed[j[ok]] = arc.X[v][ok]
     live_mask = np.asarray(state.pt_valid)
     g = np.asarray(state.pt_gid)[live_mask]
     j = np.searchsorted(sel, np.clip(g, 0, None))
@@ -158,6 +185,96 @@ def build_global_problem(
     gids_out = np.full((P_pad,), -1, np.int64)
     gids_out[:P_real] = sel
     return GlobalProblem(ba_state, obs, gids_out, F, P_real, O_real, max_track)
+
+
+def choose_tiers(
+    counts_desc: np.ndarray, round_to: int = 256
+) -> tuple[tuple[int, int], ...]:
+    """Static tier partition ((n_points, rows), ...) for a descending
+    track-length histogram: tier boundaries at power-of-2 count values,
+    rows = the tier's maximum count, tier sizes rounded up to ``round_to``
+    points (pulling shorter-track points up into the roomier tier — only
+    padding slots, never dropped observations). Total slots land at
+    ~1.2-1.5x the observation count on power-law histograms where a single
+    uniform row count needs max-track x points slots."""
+    M = int(counts_desc.size)
+    tiers: list = []
+    i = 0
+    while i < M and counts_desc[i] > 0:
+        c = int(counts_desc[i])
+        # tier covers counts in (pow2/2, pow2]
+        pow2 = 1 << (c - 1).bit_length() if c > 1 else 1
+        j = int(np.searchsorted(-counts_desc, -(pow2 // 2), side="left"))
+        j = max(j, i + 1)
+        j = min(i + _round_up(j - i, round_to), M)
+        tiers.append((j - i, int(counts_desc[i])))
+        i = j
+    if i < M:
+        tiers.append((M - i, 0))  # zero-observation (padding) points
+    return tuple(tiers)
+
+
+def pack_tiered(
+    obs: "BAObservations",
+    counts: np.ndarray,
+    tiers: tuple,
+    order: np.ndarray,
+    align: int = 512,
+) -> "BAObservations":
+    """Host-side numpy packing of an observation stream into the tiered-ELL
+    layout (``BAConfig.obs_layout='tiered'``): point ids must ALREADY be
+    renumbered by descending track length (``order``: original id of each
+    new row — the same permutation applied to the problem's point arrays),
+    tier t owns the next ``n_t`` points x ``rows_t`` slots, stream padded
+    to an ``align`` multiple (fused Pallas assembly tile). Runs once per
+    global solve; every LM/CG iteration downstream is scatter-free."""
+    point = np.asarray(obs.point)
+    cam = np.asarray(obs.cam)
+    uv = np.asarray(obs.uv_norm)
+    valid = np.asarray(obs.valid)
+
+    newid = np.empty(order.size, np.int64)
+    newid[order] = np.arange(order.size)
+
+    # per-new-point slot base from the static tier partition
+    base = np.empty(order.size, np.int64)
+    rows_of = np.empty(order.size, np.int64)
+    p0, s0 = 0, 0
+    for n, r in tiers:
+        base[p0 : p0 + n] = s0 + np.arange(n, dtype=np.int64) * r
+        rows_of[p0 : p0 + n] = r
+        p0 += n
+        s0 += n * r
+    total = s0 + (-s0) % align
+
+    np_v = newid[point[valid]]
+    o2 = np.argsort(np_v, kind="stable")
+    np_s = np_v[o2]
+    first = np.searchsorted(np_s, np_s)  # index of first occurrence
+    rank = np.arange(np_s.size) - first
+    dest = base[np_s] + rank
+
+    cam_t = np.zeros(total, np.int32)
+    uv_t = np.zeros((total, 2), uv.dtype)
+    val_t = np.zeros(total, bool)
+    pt_t = np.zeros(total, np.int32)
+    p0, s0 = 0, 0
+    for n, r in tiers:
+        pt_t[s0 : s0 + n * r] = np.repeat(np.arange(p0, p0 + n, dtype=np.int32), r)
+        p0 += n
+        s0 += n * r
+    cam_t[dest] = cam[valid][o2]
+    uv_t[dest] = uv[valid][o2]
+    val_t[dest] = True
+
+    import jax.numpy as jnp
+
+    return BAObservations(
+        cam=jnp.asarray(cam_t),
+        point=jnp.asarray(pt_t),
+        uv_norm=jnp.asarray(uv_t),
+        valid=jnp.asarray(val_t),
+    )
 
 
 _SPILL_COST = 12  # relative cost of one CSR-tail slot vs one dense ELL slot
@@ -221,20 +338,38 @@ def solve_global(
     M_pad = int(problem.state.X.shape[0])
 
     if num_shards <= 1:
+        # tiered ELL: renumber points by descending track length so every
+        # point-axis reduction is a concat of per-tier dense reshape-sums
+        # in point order — no scatters/segment-sums in the LM/CG loops, and
+        # no max-track padding (the single-level hybrid's failure mode on
+        # the power-law histograms long revisit loops produce)
+        import jax.numpy as jnp
+
         counts = np.bincount(point[valid], minlength=M_pad)
-        rows, spilled = _choose_ell_rows(counts, M_pad)
-        tail = _align_tail(M_pad * rows, spilled)
+        order = np.argsort(-counts, kind="stable")
+        tiers = choose_tiers(counts[order])
+        obs_t = pack_tiered(problem.obs, counts, tiers, order)
+        st = problem.state._replace(
+            X=jnp.asarray(np.asarray(problem.state.X)[order]),
+            pt_valid=jnp.asarray(np.asarray(problem.state.pt_valid)[order]),
+        )
         cam_max = int(np.bincount(cam[valid], minlength=V).max())
         # camera-ELL pays off once the (O, V) one-hot operand outweighs the
         # permuted stream; at windowed V the MXU one-hot matmul wins
         cam_rows = _round_up(cam_max, 8) if V >= 64 else 0
         cfg = dataclasses.replace(
-            ba_config, iterations=iterations, obs_layout="ell",
-            ell_rows=rows, ell_tail=tail, cam_rows=cam_rows,
+            ba_config, iterations=iterations, obs_layout="tiered",
+            tiers=tiers, ell_rows=0, ell_tail=0, cam_rows=cam_rows,
         )
         from structure_from_motion_tpu.ops.ba import run_bundle_adjustment
 
-        out, costs = run_bundle_adjustment(problem.state, problem.obs, cfg)
+        out, costs = run_bundle_adjustment(st, obs_t, cfg)
+        # un-permute the refined points back to the problem's original order
+        X = np.empty_like(np.asarray(out.X))
+        X[order] = np.asarray(out.X)
+        pv = np.empty_like(np.asarray(out.pt_valid))
+        pv[order] = np.asarray(out.pt_valid)
+        out = out._replace(X=jnp.asarray(X), pt_valid=jnp.asarray(pv))
         return out, np.asarray(costs)
 
     from structure_from_motion_tpu.parallel.ba_sharded import (

@@ -918,6 +918,16 @@ class IncrementalSfM:
         if self.config.window_mode != "slide":
             return None
         self.state, rec = self._jit_evict(self.state)
+        # start device->host copies NOW, overlapped with subsequent frames:
+        # every archive consumer (global-BA assembly, poses(), checkpoint
+        # save) reads these leaves with np.asarray, which would otherwise
+        # pay one tunnel round trip PER RECORD PER FIELD at the end of a
+        # long run (~270 s of the 500-camera global assembly). The async
+        # copy caches the host value without blocking this frame.
+        try:
+            jax.tree_util.tree_map(lambda a: a.copy_to_host_async(), rec)
+        except (AttributeError, NotImplementedError):
+            pass  # backend without async copies: consumers fetch lazily
         self._archive.append(rec)
         return self._window - 1
 
@@ -1078,8 +1088,11 @@ class IncrementalSfM:
         A = len(self._archive)
         C = np.asarray(out.C)
         q = np.asarray(out.q)
+        # refined archive poses stay HOST numpy rows: every consumer of the
+        # archive (poses(), re-assembly, checkpoint save) reads host-side,
+        # and per-record device ops cost one tunnel round trip each
         self._archive = [
-            r._replace(C=jnp.asarray(C[i]), q=jnp.asarray(q[i]))
+            r._replace(C=C[i], q=q[i])
             for i, r in enumerate(self._archive)
         ]
         self.state = self.state._replace(
@@ -1128,8 +1141,10 @@ class IncrementalSfM:
         C = np.asarray(self.state.cam_C)[:n]
         R = np.asarray(quat_to_rotation(self.state.cam_q[:n]))
         if self._archive:
+            # host stacks: record leaves are host-cached (async-copied at
+            # eviction) or numpy (checkpoint load / global-BA refinement)
             Ca = np.stack([np.asarray(r.C) for r in self._archive])
-            qa = jnp.stack([r.q for r in self._archive])
+            qa = jnp.asarray(np.stack([np.asarray(r.q) for r in self._archive]))
             Ra = np.asarray(quat_to_rotation(qa))
             C = np.concatenate([Ca, C])
             R = np.concatenate([Ra, R])

@@ -96,6 +96,17 @@ class ObsLayout(NamedTuple):
     to the longest track — the failure mode that made whole-trajectory BA
     fall back to CSR and its ~10 ms/iteration TPU scatters.
 
+    ``tiers`` (from ``BAConfig.tiers``): tiered ELL for power-law track
+    histograms. The stream arrives pre-packed with points RENUMBERED in
+    descending track-length order and partitioned into static tiers —
+    tier t covers the next ``n_t`` points with ``rows_t`` slots each —
+    so point-axis reductions are a concat of per-tier dense reshape-sums
+    that lands directly in point order: no scatter, no segment-sum, no
+    permutation gather, and total slots ~1.2x the observation count where
+    single-level ELL needed 4x padding plus a segment-summed tail.
+    Sets ``ell_rows``/``tail`` to 0; slots past the tiers' total (pallas
+    tile alignment) are invalid padding excluded from point reductions.
+
     ``cam_perm``/``cam_mask`` (present when ``BAConfig.cam_rows > 0``)
     describe a second, camera-major ELL view of the SAME stream: slot
     ``v * cam_rows + r`` holds the index of camera v's r-th observation.
@@ -106,6 +117,8 @@ class ObsLayout(NamedTuple):
 
     ell_rows: int = 0
     tail: int = 0
+    tiers: tuple = ()  # ((n_points, rows), ...) static tier partition
+    pad: int = 0  # alignment slots appended after the tier region
     cam_rows: int = 0
     cam_perm: Array | None = None  # (V * cam_rows,) int32 into the stream
     cam_mask: Array | None = None  # (V * cam_rows,) bool
@@ -258,6 +271,24 @@ def _point_sum(
     lay: "ObsLayout | None" = None,
 ) -> Array:
     """Sum per-observation values into (m, ...) point bins."""
+    if lay is not None and lay.tiers:
+        # per-tier dense reshape-sums, concatenated directly in point order
+        # (points are renumbered by descending track length at packing);
+        # slots past the tiers' total are alignment padding — ignored
+        outs, off = [], 0
+        for n, r in lay.tiers:
+            if r == 0:
+                outs.append(
+                    jnp.zeros((n,) + vals.shape[1:], vals.dtype)
+                )
+                continue
+            outs.append(
+                vals[off : off + n * r]
+                .reshape((n, r) + vals.shape[1:])
+                .sum(axis=1)
+            )
+            off += n * r
+        return jnp.concatenate(outs)[:m]
     ell_rows = lay.ell_rows if lay is not None else 0
     if ell_rows:
         n_ell = m * ell_rows
@@ -279,6 +310,25 @@ def _point_gather(
     vals: Array, point: Array, lay: "ObsLayout | None" = None
 ) -> Array:
     """Expand (m, ...) point values to the per-observation stream."""
+    if lay is not None and lay.tiers:
+        outs, p0 = [], 0
+        for n, r in lay.tiers:
+            if r:
+                outs.append(
+                    jnp.broadcast_to(
+                        vals[p0 : p0 + n, None], (n, r) + vals.shape[1:]
+                    ).reshape((n * r,) + vals.shape[1:])
+                )
+            p0 += n
+        if lay.pad:
+            # alignment slots: broadcast a REAL point row (point 0) so the
+            # masked residual math stays finite; their weight is zero
+            outs.append(
+                jnp.broadcast_to(
+                    vals[:1], (lay.pad,) + vals.shape[1:]
+                )
+            )
+        return jnp.concatenate(outs)
     ell_rows = lay.ell_rows if lay is not None else 0
     if ell_rows:
         m = vals.shape[0]
@@ -378,7 +428,26 @@ def _solve_dense(U, Dinv, W, b_red, obs, pin, lam, V, dtype, psum, lay=ObsLayout
     einsum for the (7V,7V) reduced system and a dense solve. Right for
     windowed V (<= a few hundred cameras)."""
     M = Dinv.shape[0]
-    if lay.ell_rows:
+    if lay.tiers:
+        # per-tier one-hot MXU builds, concatenated in point order
+        Gs, off = [], 0
+        for n, r in lay.tiers:
+            if r == 0:
+                Gs.append(jnp.zeros((n, V, 7, 3), dtype))
+                continue
+            ohc = jax.nn.one_hot(
+                obs.cam[off : off + n * r].reshape(n, r), V, dtype=dtype
+            )
+            Gs.append(
+                jnp.einsum(
+                    "ntv,ntic->nvic",
+                    ohc,
+                    W[off : off + n * r].reshape(n, r, 7, 3),
+                )
+            )
+            off += n * r
+        G = jnp.concatenate(Gs)[:M]
+    elif lay.ell_rows:
         # dense build: (M,T,V) one-hot x (M,T,7,3) -> (M,V,7,3) on the MXU;
         # invalid slots carry zero Jacobians so their cam id 0 adds nothing
         n_ell = M * lay.ell_rows
@@ -580,7 +649,18 @@ def run_bundle_adjustment(
     # over-``ell_rows`` tracks when ``config.ell_tail`` is set); CSR keeps
     # the round-2 sorted segment-sum stream.
     lay = ObsLayout()
-    if config.obs_layout == "ell":
+    if config.obs_layout == "tiered":
+        # stream arrives PRE-PACKED (models/global_ba.pack_tiered): points
+        # renumbered by descending track length, tier t = next n_t points
+        # with rows_t slots each, then alignment padding
+        if not config.tiers:
+            raise ValueError("obs_layout='tiered' requires config.tiers")
+        tier_slots = sum(n * r for n, r in config.tiers)
+        lay = lay._replace(
+            tiers=tuple(config.tiers),
+            pad=obs.cam.shape[0] - tier_slots,
+        )
+    elif config.obs_layout == "ell":
         rows = config.ell_rows or state.C.shape[0]
         obs = _to_ell(obs, state.X.shape[0], rows, config.ell_tail)
         lay = lay._replace(ell_rows=rows, tail=config.ell_tail)

@@ -39,6 +39,8 @@ def save_state(
     arrays["__frame"] = np.asarray(frame)
     if archive:
         for f in EvictionRecord._fields:
+            # host stack: record leaves are host-cached (async-copied at
+            # eviction, models/incremental._begin_frame) or numpy already
             arrays[f"__archive_{f}"] = np.stack(
                 [np.asarray(getattr(r, f)) for r in archive]
             )
@@ -56,8 +58,8 @@ def load_state(path: str) -> tuple[SfMState, int, list, tuple]:
     """Load a state written by :func:`save_state`.
 
     Returns ``(state, frame, archive, keyframes)`` where ``archive`` is a
-    list of ``(C, q)`` device-array pairs (empty when no poses were
-    archived) and ``keyframes`` is ``(keyframe_indices, next_input_index)``
+    list of host-numpy :class:`EvictionRecord` rows (empty when no poses
+    were archived) and ``keyframes`` is ``(keyframe_indices, next_input_index)``
     (defaults to identity bookkeeping, ``(range(frame), frame)``, for
     checkpoints written before keyframe selection existed or with it off).
     """
@@ -94,30 +96,36 @@ def load_state(path: str) -> tuple[SfMState, int, list, tuple]:
         if "__archive_C" in data:
             from structure_from_motion_tpu.models.tracks import EvictionRecord
 
-            aC = jnp.asarray(data["__archive_C"])
-            aq = jnp.asarray(data["__archive_q"])
-            n, Kk = aC.shape[0], fields["kp_xy"].shape[1]
-            dt = aC.dtype
+            # archive records stay HOST numpy: every consumer reads them
+            # host-side, and per-record device puts/slices each cost one
+            # tunnel round trip (minutes over a 500-view archive)
+            stacked = {
+                f: np.asarray(data[f"__archive_{f}"])
+                for f in EvictionRecord._fields
+                if f"__archive_{f}" in data
+            }
+            n = stacked["C"].shape[0]
+            Kk = fields["kp_xy"].shape[1]
+            dt = stacked["C"].dtype
 
             def rec_field(f, i, empty_shape, fill):
-                key = f"__archive_{f}"
-                if key in data:
-                    return jnp.asarray(data[key][i])
-                return jnp.full(empty_shape, fill, dt) if fill == 0.0 else (
-                    jnp.full(empty_shape, fill, jnp.int32)
+                if f in stacked:
+                    return stacked[f][i]
+                return np.full(empty_shape, fill, dt) if fill == 0.0 else (
+                    np.full(empty_shape, fill, np.int32)
                 )
 
             archive = [
                 EvictionRecord(
-                    C=aC[i],
-                    q=aq[i],
+                    C=stacked["C"][i],
+                    q=stacked["q"][i],
                     K=rec_field("K", i, (3, 3), 0.0),
                     gid=rec_field("gid", i, (Kk,), -1),
                     uv=rec_field("uv", i, (Kk, 2), 0.0),
                     X=rec_field("X", i, (Kk, 3), 0.0),
-                    valid=jnp.asarray(data["__archive_valid"][i])
-                    if "__archive_valid" in data
-                    else jnp.zeros((Kk,), bool),
+                    valid=stacked["valid"][i]
+                    if "valid" in stacked
+                    else np.zeros((Kk,), bool),
                 )
                 for i in range(n)
             ]

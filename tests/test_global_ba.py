@@ -161,3 +161,177 @@ def test_finalize_global_sharded_parity(pipeline_config):
     l1, _ = engine1.poses()
     l2, _ = engine2.poses()
     np.testing.assert_allclose(l1, l2, rtol=1e-3, atol=5e-4)
+
+
+def test_tiered_layout_matches_csr():
+    """The tiered-ELL solve (obs_layout='tiered', the whole-trajectory
+    default) must reproduce the CSR solve on a power-law track histogram —
+    the distribution revisit-heavy loops produce (p50~2, a few points seen
+    by most cameras) where single-level ELL needed max-track padding plus
+    a segment-summed tail."""
+    from structure_from_motion_tpu.config import BAConfig
+    from structure_from_motion_tpu.models.global_ba import (
+        choose_tiers,
+        pack_tiered,
+    )
+    from structure_from_motion_tpu.ops.ba import (
+        BAObservations,
+        BAState,
+        run_bundle_adjustment,
+    )
+
+    rng = np.random.default_rng(3)
+    V, M = 20, 256
+    # power-law track lengths in [2, V]
+    counts = np.minimum(
+        2 + (rng.pareto(1.0, M) * 3).astype(int), V
+    )
+    C = rng.normal(size=(V, 3)) * 0.5
+    q = rng.normal(size=(V, 4))
+    q[:, 0] += 3.0
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    X = rng.normal(size=(M, 3)) + np.array([0, 0, 6.0])
+
+    cams, pts = [], []
+    for p in range(M):
+        cams.append(rng.choice(V, size=counts[p], replace=False))
+        pts.append(np.full(counts[p], p))
+    cam = np.concatenate(cams).astype(np.int32)
+    pt = np.concatenate(pts).astype(np.int32)
+    O = cam.shape[0]
+    from structure_from_motion_tpu.ops.reproj import batched_residual_jacobians
+
+    uv, _, _ = batched_residual_jacobians(
+        jnp.asarray(C)[cam],
+        jnp.asarray(q)[cam],
+        jnp.asarray(X)[pt],
+        jnp.zeros((O, 2)),
+    )
+    uv = np.asarray(uv) * -1.0  # residual = proj - uv with uv=0 => proj
+    uv += rng.normal(size=uv.shape) * 2e-3
+
+    state = BAState(
+        C=jnp.asarray(C),
+        q=jnp.asarray(q),
+        X=jnp.asarray(X + rng.normal(size=X.shape) * 0.05),
+        cam_valid=jnp.ones(V, bool),
+        pt_valid=jnp.ones(M, bool),
+    )
+    obs = BAObservations(
+        cam=jnp.asarray(cam),
+        point=jnp.asarray(pt),
+        uv_norm=jnp.asarray(uv),
+        valid=jnp.ones(O, bool),
+    )
+
+    # adaptive=False: the accept test flips on ~1e-10 cost noise near
+    # the threshold, so layout parity must compare the deterministic
+    # always-accept iteration
+    base = BAConfig(iterations=6, damping=1.0, adaptive=False)
+    out_csr, costs_csr = run_bundle_adjustment(
+        state, obs, dataclasses.replace(base, obs_layout="csr")
+    )
+
+    order = np.argsort(-counts, kind="stable")
+    tiers = choose_tiers(counts[order], round_to=32)
+    assert sum(n for n, _ in tiers) == M
+    obs_t = pack_tiered(obs, counts, tiers, order)
+    # packed stream holds every observation exactly once
+    assert int(np.asarray(obs_t.valid).sum()) == O
+    st_t = state._replace(
+        X=state.X[jnp.asarray(order)], pt_valid=state.pt_valid[jnp.asarray(order)]
+    )
+    out_t, costs_t = run_bundle_adjustment(
+        st_t,
+        obs_t,
+        dataclasses.replace(base, obs_layout="tiered", tiers=tiers),
+    )
+    # different (exact-in-f64) reduction orders in the G build pass through
+    # the dense solve's conditioning: parity lands ~1e-5 relative
+    np.testing.assert_allclose(
+        np.asarray(costs_t), np.asarray(costs_csr), rtol=1e-4, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_t.C), np.asarray(out_csr.C), rtol=2e-3, atol=1e-5
+    )
+    X_back = np.empty_like(np.asarray(out_t.X))
+    X_back[order] = np.asarray(out_t.X)
+    np.testing.assert_allclose(
+        X_back, np.asarray(out_csr.X), rtol=2e-3, atol=1e-5
+    )
+
+
+def test_tiered_layout_matches_csr_large_v_pcg():
+    """Same cross-layout parity through the PCG reduced solve (V above
+    pcg_fallback_cameras) with the camera-ELL reduction enabled — the
+    configuration the 500-camera whole-trajectory solve runs."""
+    from structure_from_motion_tpu.config import BAConfig
+    from structure_from_motion_tpu.models.global_ba import (
+        choose_tiers,
+        pack_tiered,
+    )
+    from structure_from_motion_tpu.ops.ba import (
+        BAObservations,
+        BAState,
+        run_bundle_adjustment,
+    )
+    from structure_from_motion_tpu.ops.reproj import batched_residual_jacobians
+
+    rng = np.random.default_rng(7)
+    V, M = 40, 128
+    counts = np.minimum(2 + (rng.pareto(1.2, M) * 4).astype(int), V)
+    C = rng.normal(size=(V, 3)) * 0.5
+    q = rng.normal(size=(V, 4))
+    q[:, 0] += 3.0
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    X = rng.normal(size=(M, 3)) + np.array([0, 0, 6.0])
+    cams, pts = [], []
+    for p in range(M):
+        cams.append(rng.choice(V, size=counts[p], replace=False))
+        pts.append(np.full(counts[p], p))
+    cam = np.concatenate(cams).astype(np.int32)
+    pt = np.concatenate(pts).astype(np.int32)
+    O = cam.shape[0]
+    uv, _, _ = batched_residual_jacobians(
+        jnp.asarray(C)[cam], jnp.asarray(q)[cam], jnp.asarray(X)[pt],
+        jnp.zeros((O, 2)),
+    )
+    uv = np.asarray(uv) * -1.0 + rng.normal(size=(O, 2)) * 2e-4
+    # small perturbation + damping 10: keeps the damped system well
+    # conditioned so PCG converges inside its budget — otherwise the
+    # unconverged-PCG noise floor is amplified through the always-accept
+    # iteration and cross-layout parity is unmeasurable
+    state = BAState(
+        C=jnp.asarray(C), q=jnp.asarray(q),
+        X=jnp.asarray(X + rng.normal(size=X.shape) * 0.005),
+        cam_valid=jnp.ones(V, bool), pt_valid=jnp.ones(M, bool),
+    )
+    obs = BAObservations(
+        cam=jnp.asarray(cam), point=jnp.asarray(pt),
+        uv_norm=jnp.asarray(uv), valid=jnp.ones(O, bool),
+    )
+    cam_max = int(np.bincount(cam, minlength=V).max())
+    base = BAConfig(
+        iterations=3, damping=10.0, adaptive=False,
+        pcg_fallback_cameras=16, pcg_iterations=96,
+    )
+    _, costs_csr = run_bundle_adjustment(
+        state, obs, dataclasses.replace(base, obs_layout="csr")
+    )
+    order = np.argsort(-counts, kind="stable")
+    tiers = choose_tiers(counts[order], round_to=16)
+    obs_t = pack_tiered(obs, counts, tiers, order)
+    st_t = state._replace(
+        X=state.X[jnp.asarray(order)], pt_valid=state.pt_valid[jnp.asarray(order)]
+    )
+    _, costs_t = run_bundle_adjustment(
+        st_t,
+        obs_t,
+        dataclasses.replace(
+            base, obs_layout="tiered", tiers=tiers,
+            cam_rows=((cam_max + 7) // 8) * 8,
+        ),
+    )
+    np.testing.assert_allclose(
+        np.asarray(costs_t), np.asarray(costs_csr), rtol=1e-3, atol=1e-9
+    )
