@@ -37,6 +37,11 @@ def main() -> int:
     ap.add_argument("--max-kp", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument(
+        "--pcg-iters", type=int, default=0,
+        help="override BAConfig.pcg_iterations (0 = config default) — "
+        "halved time at halved budget localises the cost to the CG matvec",
+    )
+    ap.add_argument(
         "--out",
         default=os.path.join(
             os.path.dirname(__file__), "..", "GLOBALBA_PROFILE_r04.json"
@@ -74,6 +79,11 @@ def main() -> int:
     engine = IncrementalSfM(cfg, upenn_intrinsics(), frontend="native")
     frame = engine.load_checkpoint(args.ckpt)
     n_live = min(frame, engine._window)
+    ba_cfg = cfg.ba
+    if args.pcg_iters:
+        import dataclasses
+
+        ba_cfg = dataclasses.replace(ba_cfg, pcg_iterations=args.pcg_iters)
 
     t0 = time.time()
     prob = build_global_problem(engine.state, engine._archive, n_live)
@@ -86,13 +96,13 @@ def main() -> int:
     )
 
     t0 = time.time()
-    out1, costs1 = solve_global(prob, cfg.ba, iterations=args.iters)
+    out1, costs1 = solve_global(prob, ba_cfg, iterations=args.iters)
     np.asarray(out1.C)  # fetch barrier
     t_first = time.time() - t0
     print(f"first call (trace+compile+execute): {t_first:.1f}s", flush=True)
 
     t0 = time.time()
-    out2, costs2 = solve_global(prob, cfg.ba, iterations=args.iters)
+    out2, costs2 = solve_global(prob, ba_cfg, iterations=args.iters)
     np.asarray(out2.C)
     t_second = time.time() - t0
     print(f"second call (execute only): {t_second:.1f}s", flush=True)

@@ -1,0 +1,182 @@
+"""BASELINE configs[4-5] from REAL pipeline output: sharded whole-trajectory
+global BA over a 1000-frame rendered sequence (VERDICT r3 item 8 — the
+earlier 1000-camera drivers solved synthetic BA problems; this one solves
+what the sliding-window engine actually produced).
+
+Two stages, because the pipeline wants the real TPU while the sharded
+solve wants the virtual 8-device CPU mesh:
+
+    # stage 1 (real TPU): render + reconstruct + checkpoint
+    python examples/run_synthetic_gt.py --frames 1000 \
+        --save-state /tmp/synthgt1000.ckpt.npz --global-ba-iters 2 \
+        --out /tmp/SYNTHGT1000_stage1.json
+
+    # stage 2 (virtual mesh): THIS driver — reassemble the whole-trajectory
+    # problem from the checkpoint, solve it sharded 8 ways (points +
+    # observations sharded, cameras replicated, one psum per LM iteration),
+    # verify single-device parity, score ATE against the EXACT analytic
+    # camera path (io/synthetic.synthetic_scene_poses)
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python examples/run_distba1000_pipeline.py \
+            --ckpt /tmp/synthgt1000.ckpt.npz --frames 1000
+
+Writes DISTBA1000_r04.json. The same mechanism is gated in
+tests/test_synthetic_gt.py (slow-marked, smaller scale).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--frames", type=int, default=1000)
+    ap.add_argument("--size", type=int, nargs=2, default=(480, 640))
+    ap.add_argument("--loops", type=float, default=3.0)
+    ap.add_argument("--max-kp", type=int, default=1024)
+    ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(__file__), "..", "DISTBA1000_r04.json"
+        ),
+    )
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    n_dev = len(jax.devices())
+    if n_dev < args.shards:
+        print(
+            f"need {args.shards} devices, have {n_dev}; set "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=8",
+            file=sys.stderr,
+        )
+        return 1
+
+    from structure_from_motion_tpu.config import (
+        BAConfig,
+        CapacityConfig,
+        FrontendConfig,
+        PipelineConfig,
+    )
+    from structure_from_motion_tpu.io.synthetic import (
+        default_synthetic_K,
+        synthetic_scene_poses,
+    )
+    from structure_from_motion_tpu.models import IncrementalSfM
+    from structure_from_motion_tpu.models.global_ba import build_global_problem
+    from structure_from_motion_tpu.utils.metrics import (
+        absolute_trajectory_error,
+    )
+
+    H, W = args.size
+    # config mirrors examples/run_synthetic_gt.py (the stage-1 writer)
+    cfg = PipelineConfig(
+        frontend=FrontendConfig(
+            max_keypoints=args.max_kp, upsample_first_octave=False
+        ),
+        ba=BAConfig(iterations=3, damping=5.0, huber_delta=0.01),
+        capacity=CapacityConfig(
+            max_views=args.window,
+            max_keypoints=args.max_kp,
+            max_points=16384,
+            max_observations=65536,
+        ),
+        window_size=args.window,
+        window_mode="slide",
+    )
+    K = default_synthetic_K((H, W))
+    engine = IncrementalSfM(cfg, K, frontend="native")
+    frame = engine.load_checkpoint(args.ckpt)
+    if frame != args.frames:
+        print(f"checkpoint holds {frame} frames, expected {args.frames}", file=sys.stderr)
+        return 1
+    _, C_gt, _ = synthetic_scene_poses(args.frames, (H, W), loops=args.loops)
+    span = float(np.linalg.norm(C_gt.max(0) - C_gt.min(0)))
+
+    locs0, _ = engine.poses()
+    ate_before = absolute_trajectory_error(locs0, C_gt)
+
+    n_live = min(frame, engine._window)
+    t0 = time.time()
+    prob = build_global_problem(engine.state, engine._archive, n_live)
+    t_build = time.time() - t0
+    print(
+        f"problem: cams={prob.n_cams} points={prob.n_points} obs={prob.n_obs} "
+        f"max_track={prob.max_track_len} (assembly {t_build:.1f}s)",
+        flush=True,
+    )
+
+    # single-device reference, then the mesh solve on the SAME problem
+    import copy
+
+    eng1 = copy.copy(engine)
+    eng1._archive = list(engine._archive)
+    t0 = time.time()
+    info1 = eng1.finalize_global(iterations=args.iters, num_shards=1)
+    t1 = time.time() - t0
+    locs1, _ = eng1.poses()
+    ate_single = absolute_trajectory_error(locs1, C_gt)
+
+    t0 = time.time()
+    info8 = engine.finalize_global(iterations=args.iters, num_shards=args.shards)
+    t8 = time.time() - t0
+    locs8, _ = engine.poses()
+    ate_sharded = absolute_trajectory_error(locs8, C_gt)
+
+    c1 = np.asarray(info1["costs"], np.float64)
+    c8 = np.asarray(info8["costs"], np.float64)
+    rel = float(np.max(np.abs(c8 - c1) / np.maximum(np.abs(c1), 1e-12)))
+    pose_gap = float(np.max(np.abs(locs1 - locs8)))
+
+    report = {
+        "config": "BASELINE configs[4-5]: sharded whole-trajectory global BA "
+        "from real pipeline output (1000-frame rendered sequence)",
+        "checkpoint": os.path.basename(args.ckpt),
+        "devices": n_dev,
+        "shards": args.shards,
+        "iterations": args.iters,
+        "cameras": info8["n_cams"],
+        "points": info8["n_points"],
+        "observations": info8["n_obs"],
+        "max_track_len": info8["max_track_len"],
+        "assembly_s": round(t_build, 1),
+        "cost_first_to_last": [float(c8[0]), float(c8[-1])],
+        "ate_before_pct_of_span": round(100 * ate_before / span, 3),
+        "ate_after_single_pct_of_span": round(100 * ate_single / span, 3),
+        "ate_after_sharded_pct_of_span": round(100 * ate_sharded / span, 3),
+        "max_rel_cost_gap_vs_single_device": rel,
+        "max_abs_pose_gap_vs_single_device": pose_gap,
+        "wall_s_single": round(t1, 1),
+        "wall_s_sharded": round(t8, 1),
+        "note": "single-core host serialises the mesh shards, so sharded "
+        "wall measures overhead, not hardware scaling; parity + ATE vs the "
+        "EXACT analytic camera path are the point",
+    }
+    ok = rel < 1e-3 and pose_gap < 1e-2 and ate_sharded <= ate_before * 1.05
+    report["parity_ok"] = bool(ok)
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    print(f"-> {args.out}")
+    return 0 if ok else 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

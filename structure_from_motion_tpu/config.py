@@ -198,6 +198,13 @@ class BAConfig:
     # on TPU (falls back to XLA off-TPU or when the observation capacity is
     # not tile-aligned); "xla"/"pallas" force a path.
     assemble_impl: str = "auto"
+    # PCG Schur matvec: "auto" fuses the per-CG x[cam] expansion and the
+    # per-camera coupling reduction into Pallas one-hot MXU contractions on
+    # TPU (tiered layout only, V <= 2048) — the XLA gathers they replace
+    # are row-latency bound, ~6 ms/CG-iteration at whole-trajectory scale.
+    # "xla" forces the gather path; "pallas" forces the kernel (interpreted
+    # off-TPU, f32 — for parity tests).
+    matvec_impl: str = "auto"
     # Observation layout inside the LM loop. "ell": observations are packed
     # once per BA call into a dense (points, ell_rows) table so every
     # point-axis reduction is a reshape+sum and the Schur coupling builds as

@@ -50,11 +50,11 @@ def _round_up(n: int, mult: int) -> int:
 
 def _stack_archive(archive: Sequence[EvictionRecord]) -> EvictionRecord | None:
     """One ``EvictionRecord`` of stacked host-numpy arrays (leading axis =
-    eviction order). The archive is a host list of per-record DEVICE arrays;
-    fetching them field-by-field per record costs thousands of device round
-    trips through the TPU tunnel (measured: ~270 s of the 500-camera global
-    assembly). Stacking ON DEVICE first (one concatenate dispatch per field)
-    and fetching once per field makes assembly ~7 transfers total."""
+    eviction order). Fetching device-resident records field-by-field per
+    record costs thousands of tunnel round trips (measured: ~270 s of the
+    500-camera global assembly), so records are kept host-readable
+    instead: live-run evictions async-copy to host at eviction time and
+    checkpoint loads produce numpy, making this a pure host stack."""
     if not archive:
         return None
     # np.asarray per leaf is cheap: live-run records were async-copied to
@@ -95,12 +95,28 @@ def build_global_problem(
     ``pad_multiple`` so repeated calls at similar scales reuse compiles and
     the arrays divide evenly across BA shards.
     """
-    A = len(archive)
-    dt = np.asarray(state.cam_C).dtype
+    import jax
 
-    cam_C = np.asarray(state.cam_C)[:n_live]
-    cam_q = np.asarray(state.cam_q)[:n_live]
-    cam_K = np.asarray(state.K)[:n_live]
+    A = len(archive)
+    # ONE grouped device_get: async host copies are issued for every leaf
+    # before the first blocking read, so the whole state costs ~one tunnel
+    # round trip instead of one per array (each separate np.asarray of a
+    # device array is a full round trip through the TPU tunnel)
+    (
+        st_cam_C, st_cam_q, st_K, st_obs_valid, st_obs_pt, st_obs_cam,
+        st_obs_uv, st_pt_gid, st_pt_valid, st_points,
+    ) = jax.device_get(
+        (
+            state.cam_C, state.cam_q, state.K, state.obs_valid,
+            state.obs_pt, state.obs_cam, state.obs_uv, state.pt_gid,
+            state.pt_valid, state.points,
+        )
+    )
+    dt = st_cam_C.dtype
+
+    cam_C = st_cam_C[:n_live]
+    cam_q = st_cam_q[:n_live]
+    cam_K = st_K[:n_live]
     arc = _stack_archive(archive)
     if A:
         cam_C = np.concatenate([arc.C, cam_C])
@@ -115,11 +131,11 @@ def build_global_problem(
         cams.append(np.repeat(np.arange(A, dtype=np.int32), v.sum(axis=1)))
         gids.append(arc.gid[v])
         uvs.append(arc.uv[v])
-    lv = np.asarray(state.obs_valid)
-    live_pt = np.asarray(state.obs_pt)[lv]
-    cams.append(np.asarray(state.obs_cam)[lv].astype(np.int32) + A)
-    gids.append(np.asarray(state.pt_gid)[live_pt])
-    uvs.append(np.asarray(state.obs_uv)[lv])
+    lv = st_obs_valid
+    live_pt = st_obs_pt[lv]
+    cams.append(st_obs_cam[lv].astype(np.int32) + A)
+    gids.append(st_pt_gid[live_pt])
+    uvs.append(st_obs_uv[lv])
     cam = np.concatenate(cams)
     gid = np.concatenate(gids)
     uv = np.concatenate(uvs)
@@ -149,12 +165,12 @@ def build_global_problem(
         j = np.clip(j, 0, max(P_real - 1, 0))
         ok = sel[j] == g if P_real else np.zeros(g.shape, bool)
         X_seed[j[ok]] = arc.X[v][ok]
-    live_mask = np.asarray(state.pt_valid)
-    g = np.asarray(state.pt_gid)[live_mask]
+    live_mask = st_pt_valid
+    g = st_pt_gid[live_mask]
     j = np.searchsorted(sel, np.clip(g, 0, None))
     j = np.clip(j, 0, max(P_real - 1, 0))
     ok = np.logical_and(g >= 0, sel[j] == g) if P_real else np.zeros(g.shape, bool)
-    X_seed[j[ok]] = np.asarray(state.points)[live_mask][ok]
+    X_seed[j[ok]] = st_points[live_mask][ok]
 
     # -- normalize pixel coords with each camera's own K ------------------
     Kinv = np.linalg.inv(cam_K)  # (F,3,3)
@@ -327,13 +343,25 @@ def solve_global(
 
     The observation layout is sized host-side from the problem's own
     histograms (assembly runs once per reconstruction; the solve must not
-    pay for rare long tracks): hybrid ELL rows at the cost-optimal track
-    length with a CSR tail for the spill, and the camera-ELL reduction
-    (``BAConfig.cam_rows``) sized to the busiest camera so no PCG iteration
-    materialises an (O, V) one-hot operand."""
-    point = np.asarray(problem.obs.point)
-    cam = np.asarray(problem.obs.cam)
-    valid = np.asarray(problem.obs.valid)
+    pay for rare long tracks). Single device: tiered ELL — points
+    renumbered by descending track length, per-tier row counts, every
+    point reduction a dense reshape-sum (``choose_tiers``/``pack_tiered``)
+    — with the Pallas matvec kernels fusing the per-CG camera
+    expand/reduce on TPU (``ops/ba_matvec_pallas.py``). Sharded: hybrid
+    ELL per shard (uniform rows + CSR spill tail). Both size the
+    camera-ELL reduction (``BAConfig.cam_rows``) to the busiest camera so
+    no PCG iteration materialises an (O, V) one-hot operand."""
+    from structure_from_motion_tpu.utils.compile_cache import (
+        enable_persistent_compile_cache,
+    )
+
+    enable_persistent_compile_cache()
+    import jax
+
+    # grouped fetch: one tunnel round trip for all three streams
+    point, cam, valid = jax.device_get(
+        (problem.obs.point, problem.obs.cam, problem.obs.valid)
+    )
     V = int(problem.state.C.shape[0])
     M_pad = int(problem.state.X.shape[0])
 
@@ -349,9 +377,10 @@ def solve_global(
         order = np.argsort(-counts, kind="stable")
         tiers = choose_tiers(counts[order])
         obs_t = pack_tiered(problem.obs, counts, tiers, order)
+        X_np, pv_np = jax.device_get((problem.state.X, problem.state.pt_valid))
         st = problem.state._replace(
-            X=jnp.asarray(np.asarray(problem.state.X)[order]),
-            pt_valid=jnp.asarray(np.asarray(problem.state.pt_valid)[order]),
+            X=jnp.asarray(X_np[order]),
+            pt_valid=jnp.asarray(pv_np[order]),
         )
         cam_max = int(np.bincount(cam[valid], minlength=V).max())
         # camera-ELL pays off once the (O, V) one-hot operand outweighs the
@@ -365,10 +394,11 @@ def solve_global(
 
         out, costs = run_bundle_adjustment(st, obs_t, cfg)
         # un-permute the refined points back to the problem's original order
-        X = np.empty_like(np.asarray(out.X))
-        X[order] = np.asarray(out.X)
-        pv = np.empty_like(np.asarray(out.pt_valid))
-        pv[order] = np.asarray(out.pt_valid)
+        Xo_np, pvo_np = jax.device_get((out.X, out.pt_valid))
+        X = np.empty_like(Xo_np)
+        X[order] = Xo_np
+        pv = np.empty_like(pvo_np)
+        pv[order] = pvo_np
         out = out._replace(X=jnp.asarray(X), pt_valid=jnp.asarray(pv))
         return out, np.asarray(costs)
 

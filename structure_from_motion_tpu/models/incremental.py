@@ -844,6 +844,11 @@ class IncrementalSfM:
         seed: int = 0,
         collect_metrics: bool = True,
     ):
+        from structure_from_motion_tpu.utils.compile_cache import (
+            enable_persistent_compile_cache,
+        )
+
+        enable_persistent_compile_cache()
         if config.frontend.max_keypoints != config.capacity.max_keypoints:
             raise ValueError("frontend.max_keypoints must equal capacity.max_keypoints")
         if config.ba_num_shards > 1 and (

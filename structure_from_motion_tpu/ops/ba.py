@@ -511,7 +511,7 @@ def _solve_pcg(
     U_hat = psum(U) if psum is not None else U
     U_hat = U_hat + lam * jnp.eye(7, dtype=dtype)[None]
 
-    if sorted_by_point or lay.ell_rows:
+    if sorted_by_point or lay.ell_rows or lay.tiers:
         # run_bundle_adjustment already canonicalised the layout once for
         # the whole BA call
         pt_s, cam_s, W_s = obs.point, obs.cam, W
@@ -520,6 +520,31 @@ def _solve_pcg(
         pt_s = obs.point[order]
         cam_s = obs.cam[order]
         W_s = W[order]
+
+    # Pallas-fused matvec halves (ops/ba_matvec_pallas.py): the per-CG
+    # x[cam] expansion and per-camera coupling reduction are gather-row-
+    # latency bound in XLA (~6 ms/iteration at 191k slots); in-kernel
+    # one-hot MXU contractions run them at streaming bandwidth. Tiered
+    # streams are 512-aligned by construction; V <= 2048 bounds the
+    # per-tile one-hot VMEM.
+    use_pallas_mv = (
+        bool(lay.tiers)
+        and config.matvec_impl != "xla"
+        and (
+            config.matvec_impl == "pallas"
+            or jax.default_backend() == "tpu"
+        )
+        and V <= 2048
+        and W_s.shape[0] % 512 == 0
+    )
+    if use_pallas_mv:
+        from structure_from_motion_tpu.ops.ba_matvec_pallas import (
+            pallas_expand_cam,
+            pallas_reduce_cam,
+        )
+
+        w21 = W_s.reshape(-1, 21).T  # (21, O) component-major stream
+        mv_interp = jax.default_backend() != "tpu"
 
     # exact diagonal blocks of the coupling: sum over each camera's own
     # observations of W_o Dinv_{pt(o)} W_o^T  (cross-observation terms of the
@@ -538,11 +563,22 @@ def _solve_pcg(
         # the U_hat x term is computed from the already-global U_hat and so
         # stays OUTSIDE the collective; only the local coupling is psummed
         xz = jnp.where(pin[:, None], 0.0, x)
-        t = jnp.einsum("oic,oi->oc", W_s, xz[cam_s])  # (O,3) = G^T x per obs
+        if use_pallas_mv:
+            t = pallas_expand_cam(
+                cam_s, w21, xz.astype(jnp.float32), interpret=mv_interp
+            ).T.astype(W_s.dtype)  # (O,3) = G^T x per obs
+        else:
+            t = jnp.einsum("oic,oi->oc", W_s, xz[cam_s])
         g = _point_sum(t, pt_s, M, sorted_by_point=True, lay=lay)
         y = jnp.einsum("mcd,md->mc", Dinv, g)  # D^-1 G^T x
-        z = jnp.einsum("oic,oc->oi", W_s, _point_gather(y, pt_s, lay))
-        coup = _cam_sum(z, cam_s, V, lay)  # MXU one-hot or cam-ELL reshape-sum
+        if use_pallas_mv:
+            y3 = _point_gather(y, pt_s, lay).T  # tier broadcast, (3, O)
+            coup = pallas_reduce_cam(
+                cam_s, w21, y3.astype(jnp.float32), V, interpret=mv_interp
+            ).astype(x.dtype)
+        else:
+            z = jnp.einsum("oic,oc->oi", W_s, _point_gather(y, pt_s, lay))
+            coup = _cam_sum(z, cam_s, V, lay)  # MXU one-hot / cam-ELL sum
         if psum is not None:
             coup = psum(coup)
         out = jnp.einsum("vij,vj->vi", U_hat, xz) - coup

@@ -49,12 +49,19 @@ def enable_compilation_cache(cache_dir: str) -> None:
     """
     import jax
 
+    from structure_from_motion_tpu.utils.compile_cache import (
+        _reset_cache_singleton,
+    )
+
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     # cache everything, including programs that compile quickly — the
     # pipeline dispatches many small jitted helpers around the main step
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # the engines may already have pointed the process-wide cache at the
+    # default location (utils/compile_cache); redirecting requires a reset
+    _reset_cache_singleton()
 
 
 _serialization_registered = False

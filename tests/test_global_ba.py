@@ -335,3 +335,108 @@ def test_tiered_layout_matches_csr_large_v_pcg():
     np.testing.assert_allclose(
         np.asarray(costs_t), np.asarray(costs_csr), rtol=1e-3, atol=1e-9
     )
+
+
+def test_pallas_matvec_kernels_match_xla():
+    """ops/ba_matvec_pallas: the one-hot MXU expand/reduce kernels must
+    reproduce the XLA gather formulations (interpret mode; f32)."""
+    from structure_from_motion_tpu.ops.ba_matvec_pallas import (
+        pallas_expand_cam,
+        pallas_reduce_cam,
+    )
+
+    rng = np.random.default_rng(0)
+    O, V = 1024, 37
+    cam = rng.integers(0, V, O).astype(np.int32)
+    W = rng.normal(size=(O, 7, 3)).astype(np.float32)
+    x = rng.normal(size=(V, 7)).astype(np.float32)
+    y3 = rng.normal(size=(3, O)).astype(np.float32)
+    w21 = jnp.asarray(W.reshape(O, 21).T)
+    t = pallas_expand_cam(jnp.asarray(cam), w21, jnp.asarray(x), interpret=True)
+    t_ref = np.einsum("oic,oi->oc", W, x[cam])
+    np.testing.assert_allclose(np.asarray(t).T, t_ref, atol=1e-5)
+    coup = pallas_reduce_cam(
+        jnp.asarray(cam), w21, jnp.asarray(y3), V, interpret=True
+    )
+    z = np.einsum("oic,oc->oi", W, y3.T)
+    coup_ref = np.zeros((V, 7), np.float32)
+    np.add.at(coup_ref, cam, z)
+    np.testing.assert_allclose(np.asarray(coup), coup_ref, atol=1e-4)
+
+
+def test_tiered_pcg_pallas_matvec_matches_xla():
+    """Full tiered PCG solve with matvec_impl='pallas' (interpreted) vs
+    'xla' — the production TPU configuration of the whole-trajectory
+    global BA, checked end-to-end. Geometry is a WELL-POSED camera ring
+    (all points in front, bounded Jacobians): random-pose problems put
+    points at z ~ 0 where f32 normal equations are near-singular and any
+    reduction reordering moves the step by O(1)."""
+    from structure_from_motion_tpu.config import BAConfig
+    from structure_from_motion_tpu.models.global_ba import (
+        choose_tiers,
+        pack_tiered,
+    )
+    from structure_from_motion_tpu.ops.ba import (
+        BAObservations,
+        BAState,
+        run_bundle_adjustment,
+    )
+    from structure_from_motion_tpu.ops.reproj import batched_residual_jacobians
+    from structure_from_motion_tpu.utils.rotations import rotation_to_quat
+
+    rng = np.random.default_rng(11)
+    V, M = 24, 96
+    counts = np.minimum(2 + (rng.pareto(1.2, M) * 4).astype(int), V)
+    th = np.linspace(0, 2 * np.pi, V, endpoint=False)
+    C = np.stack([5 * np.cos(th), 5 * np.sin(th), 0.2 * np.sin(3 * th)], 1)
+    Rs = []
+    for c in C:
+        z = -c / np.linalg.norm(c)  # look at the origin
+        x = np.cross([0.0, 0.0, 1.0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        Rs.append(np.stack([x, y, z], axis=1))
+    q = np.asarray(rotation_to_quat(jnp.asarray(np.stack(Rs))))
+    X = rng.normal(size=(M, 3)) * 1.2
+    cams, pts = [], []
+    for p in range(M):
+        cams.append(rng.choice(V, size=counts[p], replace=False))
+        pts.append(np.full(counts[p], p))
+    cam = np.concatenate(cams).astype(np.int32)
+    pt = np.concatenate(pts).astype(np.int32)
+    O = cam.shape[0]
+    uv, _, _ = batched_residual_jacobians(
+        jnp.asarray(C)[cam], jnp.asarray(q)[cam], jnp.asarray(X)[pt],
+        jnp.zeros((O, 2)),
+    )
+    uv = np.asarray(uv) * -1.0 + rng.normal(size=(O, 2)) * 2e-4
+    f32 = jnp.float32
+    state = BAState(
+        C=jnp.asarray(C, f32), q=jnp.asarray(q, f32),
+        X=jnp.asarray(X + rng.normal(size=X.shape) * 0.005, f32),
+        cam_valid=jnp.ones(V, bool), pt_valid=jnp.ones(M, bool),
+    )
+    obs = BAObservations(
+        cam=jnp.asarray(cam), point=jnp.asarray(pt),
+        uv_norm=jnp.asarray(uv, f32), valid=jnp.ones(O, bool),
+    )
+    order = np.argsort(-counts, kind="stable")
+    tiers = choose_tiers(counts[order], round_to=16)
+    obs_t = pack_tiered(obs, counts, tiers, order)
+    st_t = state._replace(
+        X=state.X[jnp.asarray(order)], pt_valid=state.pt_valid[jnp.asarray(order)]
+    )
+    base = BAConfig(
+        iterations=3, damping=1.0, adaptive=False,
+        pcg_fallback_cameras=8, pcg_iterations=64,
+        obs_layout="tiered", tiers=tiers,
+    )
+    _, costs_x = run_bundle_adjustment(
+        st_t, obs_t, dataclasses.replace(base, matvec_impl="xla")
+    )
+    _, costs_p = run_bundle_adjustment(
+        st_t, obs_t, dataclasses.replace(base, matvec_impl="pallas")
+    )
+    np.testing.assert_allclose(
+        np.asarray(costs_p), np.asarray(costs_x), rtol=1e-4
+    )

@@ -88,3 +88,55 @@ def test_exact_gt_trajectory_native_frontend(synth_config):
     assert ate / span < 0.05, (ate, span, locs, C_gt)
     # mean reprojection must also be subpixel-ish on clean renders
     assert engine.reprojection_error() < 2.0
+
+
+@pytest.mark.slow
+def test_pipeline_output_sharded_global_ba_vs_exact_truth(synth_config):
+    """The DISTBA1000 mechanism at test scale: a rendered sliding-window
+    run (real pipeline output, NOT a synthetic BA problem) reassembled into
+    the whole-trajectory problem and solved SHARDED over the virtual mesh —
+    parity with the single-device solve, and ATE vs the EXACT analytic
+    camera path must not regress. Full scale (1000 frames, 8 shards) runs
+    in examples/run_distba1000_pipeline.py -> DISTBA1000_r04.json."""
+    frames_n = 60
+    imgs, K, C_gt, _ = synthetic_scene_sequence(
+        n_frames=frames_n, size=(240, 320), seed=3, loops=2.0
+    )
+    cfg = dataclasses.replace(
+        synth_config,
+        frontend=dataclasses.replace(
+            synth_config.frontend, max_keypoints=256
+        ),
+        capacity=CapacityConfig(
+            max_views=8, max_keypoints=256, max_points=4096,
+            max_observations=16384,
+        ),
+        window_size=8,
+        window_mode="slide",
+    )
+    engine1 = IncrementalSfM(cfg, K, frontend="native", seed=0)
+    for im in imgs:
+        engine1.process_image(im)
+    assert len(engine1._archive) == frames_n - 8
+
+    import copy
+
+    engine8 = copy.copy(engine1)
+    engine8._archive = list(engine1._archive)
+
+    locs0, _ = engine1.poses()
+    ate_before = umeyama_ate(locs0, C_gt)
+    info1 = engine1.finalize_global(iterations=10, num_shards=1)
+    info8 = engine8.finalize_global(iterations=10, num_shards=4)
+    np.testing.assert_allclose(
+        np.asarray(info8["costs"]), np.asarray(info1["costs"]),
+        rtol=5e-4, atol=1e-7,
+    )
+    l1, _ = engine1.poses()
+    l8, _ = engine8.poses()
+    np.testing.assert_allclose(l1, l8, rtol=1e-3, atol=5e-4)
+    ate_after = umeyama_ate(l8, C_gt)
+    span = float(np.linalg.norm(C_gt.max(0) - C_gt.min(0)))
+    # the whole-trajectory solve must leave the exact-truth ATE no worse
+    assert ate_after <= ate_before * 1.05 + 1e-6, (ate_before, ate_after)
+    assert ate_after / span < 0.05, ate_after / span
