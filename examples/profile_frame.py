@@ -49,21 +49,55 @@ def scalarize(out):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--kp", type=int, default=1024)
+    ap.add_argument(
+        "--source", choices=["upenn", "synthetic"], default="upenn",
+        help="synthetic: the run_synthetic_gt.py configuration (rendered "
+        "640x480 frames, huber BA, reprojection pruning, slide window) — "
+        "for localising the SYNTHGT throughput anomaly (VERDICT r3)",
+    )
     args = ap.parse_args()
 
-    cfg = PipelineConfig(
-        frontend=FrontendConfig(
-            max_keypoints=args.kp, num_octaves=4, upsample_first_octave=False
-        ),
-        matcher=MatcherConfig(ratio=0.8),
-        capacity=CapacityConfig(
-            max_views=8, max_keypoints=args.kp, max_points=8192,
-            max_observations=32768,
-        ),
-    )
-    K = upenn_intrinsics()
-    files = [os.path.join(UP, f"image{i:07d}.bmp") for i in range(1, 7)]
-    imgs = [load_image_grayscale(f).astype(np.uint8) for f in files]
+    if args.source == "synthetic":
+        from structure_from_motion_tpu.config import BAConfig, LMConfig, RansacConfig
+        from structure_from_motion_tpu.io.synthetic import (
+            default_synthetic_K,
+            synthetic_scene_sequence,
+        )
+
+        cfg = PipelineConfig(
+            frontend=FrontendConfig(
+                max_keypoints=args.kp, upsample_first_octave=False
+            ),
+            matcher=MatcherConfig(ratio=0.85),
+            fundamental_ransac=RansacConfig(inlier_threshold=2.0, iteration=256),
+            pnp_ransac=RansacConfig(inlier_threshold=8.0, sample_num=6, iteration=512),
+            pnp_lm=LMConfig(damping=5.0, iterations=100),
+            triangulation_lm=LMConfig(damping=5.0, iterations=50),
+            ba=BAConfig(iterations=3, damping=5.0, huber_delta=0.01),
+            capacity=CapacityConfig(
+                max_views=8, max_keypoints=args.kp, max_points=16384,
+                max_observations=65536,
+            ),
+            window_size=8,
+            window_mode="slide",
+            prune_max_error_px=8.0,
+        )
+        frames, K, _, _ = synthetic_scene_sequence(n_frames=6, size=(480, 640))
+        imgs = [f for f in frames]
+    else:
+        cfg = PipelineConfig(
+            frontend=FrontendConfig(
+                max_keypoints=args.kp, num_octaves=4, upsample_first_octave=False
+            ),
+            matcher=MatcherConfig(ratio=0.8),
+            capacity=CapacityConfig(
+                max_views=8, max_keypoints=args.kp, max_points=8192,
+                max_observations=32768,
+            ),
+        )
+        K = upenn_intrinsics()
+        files = [os.path.join(UP, f"image{i:07d}.bmp") for i in range(1, 7)]
+        imgs = [load_image_grayscale(f).astype(np.uint8) for f in files]
 
     eng = IncrementalSfM(cfg, K, frontend="native", collect_metrics=False)
     for im in imgs[:5]:

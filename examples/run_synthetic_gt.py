@@ -35,6 +35,8 @@ def main() -> int:
     ap.add_argument("--loops", type=float, default=3.0)
     ap.add_argument("--device", choices=["cpu", "tpu"], default="tpu")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-points", type=int, default=16384)
+    ap.add_argument("--max-obs", type=int, default=65536)
     ap.add_argument("--global-ba-iters", type=int, default=20)
     ap.add_argument("--global-ba-shards", type=int, default=1)
     ap.add_argument(
@@ -88,8 +90,8 @@ def main() -> int:
         capacity=CapacityConfig(
             max_views=args.window,
             max_keypoints=args.max_kp,
-            max_points=16384,
-            max_observations=65536,
+            max_points=args.max_points,
+            max_observations=args.max_obs,
         ),
         window_size=args.window,
         window_mode="slide",

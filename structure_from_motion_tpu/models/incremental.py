@@ -1020,10 +1020,13 @@ class IncrementalSfM:
         info = dict(info)
         info["frame"] = v
         if self.collect_metrics:
-            info = {
-                k: (np.asarray(val) if hasattr(val, "shape") else val)
-                for k, val in info.items()
-            }
+            # ONE grouped device_get: async host copies for every metric,
+            # then a single blocking wait. A per-entry np.asarray is a full
+            # tunnel round trip each (~25 ms x ~12 metrics = the difference
+            # between 2.5 and 11 frames/s on the rendered-GT run — the
+            # round-3 SYNTHGT throughput anomaly).
+            dev = {k: val for k, val in info.items() if hasattr(val, "shape")}
+            info.update(jax.device_get(dev))
             info["reprojection_px"] = float(info["reprojection_px"])
         return info
 
