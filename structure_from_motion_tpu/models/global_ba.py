@@ -208,11 +208,20 @@ def choose_tiers(
 ) -> tuple[tuple[int, int], ...]:
     """Static tier partition ((n_points, rows), ...) for a descending
     track-length histogram: tier boundaries at power-of-2 count values,
-    rows = the tier's maximum count, tier sizes rounded up to ``round_to``
-    points (pulling shorter-track points up into the roomier tier — only
-    padding slots, never dropped observations). Total slots land at
-    ~1.2-1.5x the observation count on power-law histograms where a single
-    uniform row count needs max-track x points slots."""
+    rows = the tier's maximum count, tier sizes rounded up (pulling
+    shorter-track points up into the roomier tier — only padding slots,
+    never dropped observations). Total slots land at ~1.2-1.5x the
+    observation count on power-law histograms where a single uniform row
+    count needs max-track x points slots.
+
+    Slot budget: the power-of-2 boundaries alone bound the NATURAL slots at
+    <2x the observation count (every in-tier count is > rows/2). The
+    rounding pull-up is what could blow past that on degenerate histograms
+    (a handful of 10k-observation tracks rounded up to 256 points x 10k
+    rows), so the per-tier rounding step shrinks with the tier's row count:
+    at most ~``64 * round_to`` padding slots of pull-up per tier, keeping
+    the whole layout within a small constant of the observation count with
+    no fallback needed."""
     M = int(counts_desc.size)
     tiers: list = []
     i = 0
@@ -222,7 +231,9 @@ def choose_tiers(
         pow2 = 1 << (c - 1).bit_length() if c > 1 else 1
         j = int(np.searchsorted(-counts_desc, -(pow2 // 2), side="left"))
         j = max(j, i + 1)
-        j = min(i + _round_up(j - i, round_to), M)
+        # pull-up rounding step bounded by a per-tier padding-slot budget
+        step = int(np.clip((64 * round_to) // max(c, 1), 1, round_to))
+        j = min(i + _round_up(j - i, step), M)
         tiers.append((j - i, int(counts_desc[i])))
         i = j
     if i < M:
@@ -232,7 +243,6 @@ def choose_tiers(
 
 def pack_tiered(
     obs: "BAObservations",
-    counts: np.ndarray,
     tiers: tuple,
     order: np.ndarray,
     align: int = 512,
@@ -376,7 +386,7 @@ def solve_global(
         counts = np.bincount(point[valid], minlength=M_pad)
         order = np.argsort(-counts, kind="stable")
         tiers = choose_tiers(counts[order])
-        obs_t = pack_tiered(problem.obs, counts, tiers, order)
+        obs_t = pack_tiered(problem.obs, tiers, order)
         X_np, pv_np = jax.device_get((problem.state.X, problem.state.pt_valid))
         st = problem.state._replace(
             X=jnp.asarray(X_np[order]),

@@ -62,6 +62,12 @@ def enable_compilation_cache(cache_dir: str) -> None:
     # the engines may already have pointed the process-wide cache at the
     # default location (utils/compile_cache); redirecting requires a reset
     _reset_cache_singleton()
+    # Mark the process-wide cache as configured so a later engine /
+    # solve_global call does not overwrite this directory with the default
+    # (and reset min_compile_time back to 1.0 s).
+    from structure_from_motion_tpu.utils import compile_cache as _cc
+
+    _cc._enabled = True
 
 
 _serialization_registered = False

@@ -34,6 +34,14 @@ def enable_persistent_compile_cache(path: str | None = None) -> None:
         return
     import jax
 
+    if path is None and jax.config.jax_compilation_cache_dir:
+        # A cache directory is already configured (e.g. an explicit
+        # serve.enable_compilation_cache(dir) call, or the user set
+        # JAX_COMPILATION_CACHE_DIR). Never clobber it with the default —
+        # just record that the cache is live so later calls stay no-ops.
+        _enabled = True
+        return
+
     cache_dir = (
         path
         or os.environ.get("SFM_TPU_COMPILE_CACHE")

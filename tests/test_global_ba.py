@@ -235,7 +235,7 @@ def test_tiered_layout_matches_csr():
     order = np.argsort(-counts, kind="stable")
     tiers = choose_tiers(counts[order], round_to=32)
     assert sum(n for n, _ in tiers) == M
-    obs_t = pack_tiered(obs, counts, tiers, order)
+    obs_t = pack_tiered(obs, tiers, order)
     # packed stream holds every observation exactly once
     assert int(np.asarray(obs_t.valid).sum()) == O
     st_t = state._replace(
@@ -320,7 +320,7 @@ def test_tiered_layout_matches_csr_large_v_pcg():
     )
     order = np.argsort(-counts, kind="stable")
     tiers = choose_tiers(counts[order], round_to=16)
-    obs_t = pack_tiered(obs, counts, tiers, order)
+    obs_t = pack_tiered(obs, tiers, order)
     st_t = state._replace(
         X=state.X[jnp.asarray(order)], pt_valid=state.pt_valid[jnp.asarray(order)]
     )
@@ -422,7 +422,7 @@ def test_tiered_pcg_pallas_matvec_matches_xla():
     )
     order = np.argsort(-counts, kind="stable")
     tiers = choose_tiers(counts[order], round_to=16)
-    obs_t = pack_tiered(obs, counts, tiers, order)
+    obs_t = pack_tiered(obs, tiers, order)
     st_t = state._replace(
         X=state.X[jnp.asarray(order)], pt_valid=state.pt_valid[jnp.asarray(order)]
     )
