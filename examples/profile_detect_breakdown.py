@@ -149,6 +149,16 @@ def main() -> int:
         )
         return jnp.sum(ox) + jnp.sum(oy) + jnp.sum(so)
 
+    def stage_gradbuf(im):
+        # tail split part 1: the keypoint-INDEPENDENT gradient-buffer build
+        # (streams the whole pyramid; scales with pixel count, which is why
+        # the accuracy config's tail is ~3x the base config's at the same
+        # 1024 keypoints). full - this = orientation + descriptor sampling.
+        octs = pyramid(im)
+        grad_octs = [g[: S + 1] for g in octs]
+        g4 = F._flat_gradients(grad_octs, cfg.grad_pack, cfg.grad_dtype)
+        return jnp.sum(g4[:4].astype(jnp.float32)) + stage_subpixel(im)
+
     def stage_full(im):
         kps, desc = F.detect_and_describe(im, cfg)
         return jnp.sum(kps.xy) + jnp.sum(desc[:2])
@@ -158,6 +168,7 @@ def main() -> int:
         ("+extrema", stage_extrema),
         ("+topk", stage_topk),
         ("+subpixel", stage_subpixel),
+        ("+gradbuf", stage_gradbuf),
         ("full", stage_full),
     ]
     out = {

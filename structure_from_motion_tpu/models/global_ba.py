@@ -451,6 +451,52 @@ def solve_global(
         X=interleave_points(problem.state.X, S),
         pt_valid=interleave_points(problem.state.pt_valid, S),
     )
-    out, costs = sharded_bundle_adjustment(st_p, part, cfg, make_mesh(S))
+    mesh = make_mesh(S)
+    if jax.process_count() > 1:
+        # multi-host runtime (jax.distributed): every process assembled the
+        # identical host-side problem, so global arrays are built
+        # shard-by-shard from the local copy and the shard_map spans all
+        # processes — the whole-trajectory analogue of the per-frame
+        # 2-process BA path exercised by tests/test_distributed.py.
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        shard = PartitionSpec(tuple(mesh.axis_names))
+        rep = PartitionSpec()
+
+        def to_global(arr, spec):
+            a = np.asarray(arr)
+            return jax.make_array_from_callback(
+                a.shape, NamedSharding(mesh, spec), lambda idx: a[idx]
+            )
+
+        st_g = BAState(
+            C=to_global(st_p.C, rep),
+            q=to_global(st_p.q, rep),
+            X=to_global(st_p.X, shard),
+            cam_valid=to_global(st_p.cam_valid, rep),
+            pt_valid=to_global(st_p.pt_valid, shard),
+        )
+        obs_g = BAObservations(
+            cam=to_global(part.cam, shard),
+            point=to_global(part.point, shard),
+            uv_norm=to_global(part.uv_norm, shard),
+            valid=to_global(part.valid, shard),
+        )
+        out, costs = sharded_bundle_adjustment(st_g, obs_g, cfg, mesh)
+        # point shards live on remote processes; one all-gather makes the
+        # refined map locally addressable everywhere for the write-back
+        gather = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, rep))
+        X_full = np.asarray(gather(out.X).addressable_data(0))
+        pv_full = np.asarray(gather(out.pt_valid).addressable_data(0))
+        out = BAState(
+            C=jnp.asarray(np.asarray(out.C.addressable_data(0))),
+            q=jnp.asarray(np.asarray(out.q.addressable_data(0))),
+            X=deinterleave_points(jnp.asarray(X_full), S),
+            cam_valid=jnp.asarray(np.asarray(out.cam_valid.addressable_data(0))),
+            pt_valid=deinterleave_points(jnp.asarray(pv_full), S),
+        )
+        return out, np.asarray(costs.addressable_data(0))
+    out, costs = sharded_bundle_adjustment(st_p, part, cfg, mesh)
     out = out._replace(X=deinterleave_points(out.X, S))
     return out, np.asarray(costs)

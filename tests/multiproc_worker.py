@@ -32,6 +32,7 @@ import numpy as np  # noqa: E402
 
 def main() -> None:
     port, pid, nproc = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    mode = sys.argv[4] if len(sys.argv) > 4 else "windowed"
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
@@ -51,6 +52,58 @@ def main() -> None:
     n_hosts, per_host = process_topology()
     assert n_hosts == nproc and per_host == 4, (n_hosts, per_host)
     assert jax.device_count() == nproc * 4, jax.device_count()
+
+    if mode == "global":
+        # VERDICT r4 item 7: the WHOLE-TRAJECTORY solve (models/global_ba.
+        # solve_global) under the real 2-process runtime — its multi-host
+        # branch assembles global arrays shard-by-shard and shard_maps the
+        # Schur-LM across both processes, then all-gathers the refined map.
+        # Parity anchor: the same problem solved by the single-device
+        # tiered-ELL path inside this very process.
+        from structure_from_motion_tpu.config import BAConfig
+        from structure_from_motion_tpu.models.global_ba import (
+            GlobalProblem,
+            solve_global,
+        )
+
+        from test_ba import make_scene, perturb
+
+        clean, obs, _K = make_scene(cap_m=128, cap_o=1024)
+        noisy = perturb(clean)
+        n_obs = int(np.asarray(obs.valid).sum())
+        counts = np.bincount(
+            np.asarray(obs.point)[np.asarray(obs.valid)], minlength=128
+        )
+        problem = GlobalProblem(
+            state=noisy,
+            obs=obs,
+            gids=np.arange(128),
+            n_cams=int(noisy.C.shape[0]),
+            n_points=128,
+            n_obs=n_obs,
+            max_track_len=int(counts.max()),
+        )
+        cfg = BAConfig(damping=5.0, fix_first_camera_gauge=True)
+        ref_out, ref_costs = solve_global(problem, cfg, iterations=6, num_shards=1)
+        out, costs = solve_global(problem, cfg, iterations=6, num_shards=8)
+
+        np.testing.assert_allclose(
+            np.asarray(out.C), np.asarray(ref_out.C), atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(out.q), np.asarray(ref_out.q), atol=1e-7
+        )
+        rel = np.max(
+            np.abs(costs - ref_costs) / np.maximum(np.abs(ref_costs), 1e-12)
+        )
+        assert rel < 1e-6, rel
+        assert costs[-1] <= costs[0], costs
+        print(
+            f"MULTIPROC-OK pid={pid} devices={jax.device_count()} "
+            f"mode=global rel={rel:.2e}",
+            flush=True,
+        )
+        return
 
     from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 
