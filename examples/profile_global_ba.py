@@ -101,11 +101,17 @@ def main() -> int:
     t_first = time.time() - t0
     print(f"first call (trace+compile+execute): {t_first:.1f}s", flush=True)
 
-    t0 = time.time()
-    out2, costs2 = solve_global(prob, ba_cfg, iterations=args.iters)
-    np.asarray(out2.C)
-    t_second = time.time() - t0
-    print(f"second call (execute only): {t_second:.1f}s", flush=True)
+    # min over repeats: the tunnelled chip shows large run-to-run variance
+    # (measured same-code execute 4.5-6.5 s within minutes) — the MIN is
+    # the honest on-chip cost, the spread is tunnel/host contention
+    execs = []
+    for _ in range(3):
+        t0 = time.time()
+        out2, costs2 = solve_global(prob, ba_cfg, iterations=args.iters)
+        np.asarray(out2.C)
+        execs.append(time.time() - t0)
+    t_second = min(execs)
+    print(f"execute-only calls: {[round(t, 2) for t in execs]}s", flush=True)
 
     report = {
         "config": "whole-trajectory global BA wall decomposition",
@@ -119,6 +125,7 @@ def main() -> int:
         "assembly_s": round(t_build, 2),
         "first_call_s": round(t_first, 2),
         "execute_s": round(t_second, 2),
+        "execute_s_reps": [round(t, 2) for t in execs],
         "compile_s_approx": round(t_first - t_second, 2),
         "execute_ms_per_lm_iter": round(1e3 * t_second / args.iters, 1),
         "cost_first_to_last": [float(costs2[0]), float(costs2[-1])],

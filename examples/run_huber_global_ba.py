@@ -1,0 +1,204 @@
+"""Huber-on whole-trajectory global BA (VERDICT r4 item 6 / BASELINE
+configs[2] "robust Huber loss"): the per-frame windowed BA keeps the
+default IRLS knee at 0.01 normalized (~5.7 px at upenn focal) for
+reference-parity behaviour, which is ABOVE the long-run p95 (~3 px) — the
+robust loss never actually bites. The final global solve has no reference
+behaviour to preserve, so this driver measures whether a tighter knee
+improves the trajectory: for each delta it re-runs ``finalize_global``
+from the same pre-global-BA checkpoint and scores ATE against the golden
+and the pure-cv2 oracle, plus unweighted pixel reprojection stats over
+the WHOLE reassembled problem (not just the live window).
+
+Run on the real TPU:
+    python examples/run_huber_global_ba.py \
+        --ckpt artifacts/longrun500_pre_globalba.ckpt.npz
+
+Writes HUBER_GLOBALBA_r05.json. Reference analogue: none — the
+reference's BA is plain least squares (``ba_processor.py:274-439``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import copy
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def _pixel_stats(engine, n_live: int, focal: float) -> dict:
+    """Unweighted pixel reprojection stats over the whole reassembled
+    problem (archive + live window) at the engine's CURRENT poses/map."""
+    import jax.numpy as jnp
+
+    from structure_from_motion_tpu.models.global_ba import build_global_problem
+    from structure_from_motion_tpu.ops.reproj import batched_residual_jacobians
+
+    prob = build_global_problem(engine.state, engine._archive, n_live)
+    st, obs = prob.state, prob.obs
+    res, _, _ = batched_residual_jacobians(st.C, st.q, st.X, obs.uv_norm)
+    r = np.asarray(
+        jnp.linalg.norm(res, axis=-1) * obs.valid.astype(res.dtype)
+    )
+    r = r[np.asarray(obs.valid)] * focal
+    return {
+        "count": int(r.size),
+        "mean_px": round(float(r.mean()), 4),
+        "median_px": round(float(np.median(r)), 4),
+        "p95_px": round(float(np.percentile(r, 95)), 4),
+        "max_px": round(float(r.max()), 4),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--ckpt",
+        default=os.path.join(
+            os.path.dirname(__file__), "..", "artifacts",
+            "longrun500_pre_globalba.ckpt.npz",
+        ),
+    )
+    ap.add_argument("--frames", type=int, default=500)
+    ap.add_argument("--window", type=int, default=8)
+    ap.add_argument("--max-kp", type=int, default=1024)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument(
+        "--deltas", type=float, nargs="+",
+        default=[0.01, 0.0, 0.005, 0.0025],
+        help="huber_delta values in NORMALIZED units (multiply by focal "
+        "~569 for px); 0.01 is the shipped default, 0 disables IRLS",
+    )
+    ap.add_argument(
+        "--out",
+        default=os.path.join(
+            os.path.dirname(__file__), "..", "HUBER_GLOBALBA_r05.json"
+        ),
+    )
+    args = ap.parse_args()
+
+    from structure_from_motion_tpu.config import (
+        CapacityConfig,
+        FrontendConfig,
+        PipelineConfig,
+    )
+    from structure_from_motion_tpu.io import upenn_intrinsics
+    from structure_from_motion_tpu.io.datasets import load_image_grayscale
+    from structure_from_motion_tpu.models import IncrementalSfM
+    from structure_from_motion_tpu.utils.metrics import (
+        absolute_trajectory_error,
+    )
+
+    # engine config mirrors examples/run_video_loop.py (the checkpoint
+    # writer); the checkpoint carries state + archive, the config only
+    # needs matching capacities
+    cfg = PipelineConfig(
+        frontend=FrontendConfig(
+            max_keypoints=args.max_kp, upsample_first_octave=False
+        ),
+        capacity=CapacityConfig(
+            max_views=args.window,
+            max_keypoints=args.max_kp,
+            max_points=8192,
+            max_observations=32768,
+        ),
+        window_size=args.window,
+        window_mode="slide",
+    )
+    K = upenn_intrinsics()
+    focal = float(np.asarray(K)[0, 0])
+    base = IncrementalSfM(cfg, K, frontend="native")
+    frame = base.load_checkpoint(args.ckpt)
+    if frame != args.frames:
+        print(f"checkpoint holds {frame} frames, want {args.frames}", file=sys.stderr)
+        return 1
+    n_live = min(frame, base._window)
+
+    # anchors: reference golden + pure-cv2 oracle over the 6 source
+    # images, expanded by the ping-pong schedule (run_video_loop.py)
+    import pickle
+
+    upenn = "/root/reference/test_dataset/upenn"
+    with open(os.path.join(upenn, "results", "view_pose.pkl"), "rb") as f:
+        g_locs = np.asarray(pickle.load(f)[0], np.float64).reshape(6, 3)
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from oracle_crosscheck import cv2_trajectory
+
+    imgs = [
+        np.asarray(
+            load_image_grayscale(os.path.join(upenn, f"image{i:07d}.bmp"))
+        )
+        for i in range(1, 7)
+    ]
+    o_locs, _ = cv2_trajectory(imgs, np.asarray(K))
+    fwd = list(range(6))
+    cycle = fwd + fwd[-2:0:-1]
+    schedule = [cycle[t % len(cycle)] for t in range(args.frames)]
+    gt = np.stack([g_locs[s] for s in schedule])
+    gt_o = np.stack([o_locs[s] for s in schedule])
+    span = float(np.linalg.norm(g_locs.max(0) - g_locs.min(0)))
+    span_o = float(np.linalg.norm(o_locs.max(0) - o_locs.min(0)))
+
+    locs0, _ = base.poses()
+    rows = {
+        "before_global_ba": {
+            "ate_vs_golden_pct_span": round(
+                100 * absolute_trajectory_error(locs0, gt) / span, 3
+            ),
+            "ate_vs_cv2_oracle_pct_span": round(
+                100 * absolute_trajectory_error(locs0, gt_o) / span_o, 3
+            ),
+            "reprojection_px": _pixel_stats(base, n_live, focal),
+        }
+    }
+    for delta in args.deltas:
+        eng = copy.copy(base)
+        eng._archive = list(base._archive)
+        eng.state = base.state  # immutable pytree; finalize replaces it
+        eng.config = dataclasses.replace(
+            base.config, ba=dataclasses.replace(base.config.ba, huber_delta=delta)
+        )
+        t0 = time.time()
+        gba = eng.finalize_global(iterations=args.iters)
+        wall = time.time() - t0
+        locs, _ = eng.poses()
+        rows[f"delta_{delta:g}"] = {
+            "huber_delta_px_equiv": round(delta * focal, 2),
+            "ate_vs_golden_pct_span": round(
+                100 * absolute_trajectory_error(locs, gt) / span, 3
+            ),
+            "ate_vs_cv2_oracle_pct_span": round(
+                100 * absolute_trajectory_error(locs, gt_o) / span_o, 3
+            ),
+            "reprojection_px": _pixel_stats(eng, n_live, focal),
+            "cost_first_to_last": [
+                float(gba["costs"][0]), float(gba["costs"][-1])
+            ],
+            "wall_s": round(wall, 1),
+        }
+        print(f"delta={delta:g}: {json.dumps(rows[f'delta_{delta:g}'])}", flush=True)
+
+    report = {
+        "config": "Huber IRLS sweep on the whole-trajectory global BA "
+        "(500-frame upenn loop checkpoint); delta in normalized units, "
+        "default shipped value is 0.01 (~5.7 px knee)",
+        "checkpoint": os.path.basename(args.ckpt),
+        "iterations": args.iters,
+        "frames": args.frames,
+        "rows": rows,
+    }
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    print(f"-> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

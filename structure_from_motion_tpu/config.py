@@ -137,6 +137,13 @@ class FrontendConfig:
     # histogram and the normalised/clipped descriptor (quality medians
     # unchanged on the upenn gates). "f32" restores exact round-3 numerics.
     grad_dtype: str = "bf16"
+    # dtype of the separable 3x3x3 extremum window passes (pure HBM
+    # bandwidth over the full DoG stack — the second-largest slice of the
+    # accuracy-config detect). "bf16" halves it; the extremum test compares
+    # the truncated copy against its own window max/min, so truncation only
+    # reorders near-exact ties, which the contrast threshold filters.
+    # "f32" restores exact numerics.
+    extrema_dtype: str = "bf16"
 
 
 @dataclasses.dataclass(frozen=True)

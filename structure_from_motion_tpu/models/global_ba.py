@@ -218,11 +218,16 @@ def choose_tiers(
     <2x the observation count (every in-tier count is > rows/2). The
     rounding pull-up is what could blow past that on degenerate histograms
     (a handful of 10k-observation tracks rounded up to 256 points x 10k
-    rows), so the per-tier rounding step shrinks with the tier's row count:
-    at most ~``64 * round_to`` padding slots of pull-up per tier, keeping
-    the whole layout within a small constant of the observation count with
-    no fallback needed."""
+    rows). On such tiers — and ONLY such tiers — the rounding step drops to
+    a smaller 8-multiple sized to a padding budget. Ordinary power-law
+    histograms keep the exact legacy 256-point rounding: tier sizes and
+    slot-region offsets stay large multiples, which the downstream
+    per-tier stream slices want (odd tier sizes measured ~2x the
+    whole-solve execute time on the 500-camera profile — misaligned slice
+    starts relayout the (O, 21) stream every CG iteration)."""
     M = int(counts_desc.size)
+    total_obs = int(counts_desc.sum())
+    budget = max(64 * round_to, total_obs // 2)
     tiers: list = []
     i = 0
     while i < M and counts_desc[i] > 0:
@@ -231,8 +236,11 @@ def choose_tiers(
         pow2 = 1 << (c - 1).bit_length() if c > 1 else 1
         j = int(np.searchsorted(-counts_desc, -(pow2 // 2), side="left"))
         j = max(j, i + 1)
-        # pull-up rounding step bounded by a per-tier padding-slot budget
-        step = int(np.clip((64 * round_to) // max(c, 1), 1, round_to))
+        step = round_to
+        pad_pts = (-(j - i)) % step
+        if pad_pts * c > budget:
+            # degenerate pull-up (few ultra-long tracks): bound the padding
+            step = max(8, (budget // c) // 8 * 8)
         j = min(i + _round_up(j - i, step), M)
         tiers.append((j - i, int(counts_desc[i])))
         i = j

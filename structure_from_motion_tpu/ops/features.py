@@ -183,15 +183,24 @@ def _sep_window(x: Array, init, op):
     return x
 
 
-def _local_extrema(dog: Array) -> Array:
-    """(S+2, H, W) DoG stack -> bool map of 3x3x3 extrema for layers 1..S."""
-    neigh_max = _sep_window(dog, -jnp.inf, jax.lax.max)
-    neigh_min = _sep_window(dog, jnp.inf, jax.lax.min)
+def _local_extrema(dog: Array, dtype: str = "f32") -> Array:
+    """(S+2, H, W) DoG stack -> bool map of 3x3x3 extrema for layers 1..S.
+
+    ``dtype="bf16"`` (FrontendConfig.extrema_dtype) runs the six separable
+    reduce_window passes on a bfloat16 copy — the pass is pure HBM
+    bandwidth (measured 6.8 ms of the 29 ms accuracy-config detect at
+    (5, 1920, 2560) f32), and the extremum test compares the SAME
+    truncated copy against its own window max/min, so truncation only
+    reorders near-exact ties — which the contrast threshold (~30x the bf16
+    resolution at threshold magnitude) filters anyway."""
+    dogc = dog.astype(jnp.bfloat16) if dtype == "bf16" else dog
+    neigh_max = _sep_window(dogc, -jnp.inf, jax.lax.max)
+    neigh_min = _sep_window(dogc, jnp.inf, jax.lax.min)
     # a strict extremum equals the window max (or min); ties suppressed by
     # requiring it also exceed the second value is skipped — DoG ties are
     # measure-zero on real images
-    is_max = dog >= neigh_max
-    is_min = dog <= neigh_min
+    is_max = dogc >= neigh_max
+    is_min = dogc <= neigh_min
     return jnp.logical_or(is_max, is_min)[1:-1]
 
 
@@ -385,7 +394,7 @@ def _octave_candidates(gauss: Array, cfg: FrontendConfig, per_octave_k: int):
     s_layers = dog.shape[0] - 2
     h, w = dog.shape[1], dog.shape[2]
 
-    extrema = _local_extrema(dog)  # (S, H, W)
+    extrema = _local_extrema(dog, cfg.extrema_dtype)  # (S, H, W)
     contrast_ok = jnp.abs(dog[1:-1]) > cfg.contrast_threshold
     edge_ok = jnp.stack(
         [_edge_response_ok(dog[1 + s], cfg.edge_threshold) for s in range(s_layers)]
@@ -549,9 +558,16 @@ def _flat_gradients(
     if pack == "quad":
         outs = []
         for g in gauss_octs:  # (L, H, W)
+            # difference in the STORAGE dtype: with bf16 the whole build
+            # (gradient, stack, shifted pads, concat) streams half the
+            # bytes — the input truncation adds the same ~0.4% relative
+            # error the output rounding already carried, and the build is
+            # the pixel-count-bound part of the detect tail (9.6 ms of the
+            # 29 ms accuracy config before this)
+            g = g.astype(dt)
             g2 = jnp.stack(
                 [jnp.gradient(g, axis=2), jnp.gradient(g, axis=1)], axis=-1
-            ).astype(dt)  # (L, H, W, 2)
+            )  # (L, H, W, 2)
             zc = ((0, 0), (0, 0), (0, 1), (0, 0))
             zr = ((0, 0), (0, 1), (0, 0), (0, 0))
             right = jnp.pad(g2[:, :, 1:], zc)
@@ -564,11 +580,11 @@ def _flat_gradients(
         [
             jnp.stack(
                 [
-                    jnp.gradient(g, axis=2).reshape(-1),
-                    jnp.gradient(g, axis=1).reshape(-1),
+                    jnp.gradient(g.astype(dt), axis=2).reshape(-1),
+                    jnp.gradient(g.astype(dt), axis=1).reshape(-1),
                 ],
                 axis=-1,
-            ).astype(dt)
+            )
             for g in gauss_octs
         ]
     )

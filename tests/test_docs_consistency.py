@@ -104,6 +104,19 @@ CHECKS = [
         r"`SYNTHGT_r\d+\.json` — ([\d.]+) frames/s steady",
         lambda: _latest("SYNTHGT_r[0-9]*.json")["steady_frames_per_s"],
     ),
+    (
+        "1000-frame distributed global BA ATE after (% span)",
+        r"2\.32% -> \*\*([\d.]+)% of span\*\* after 20 LM iterations \(`DISTBA1000_r\d+\.json`",
+        lambda: _latest("DISTBA1000_r0[5-9]*.json")["ate_after_sharded_pct_of_span"],
+    ),
+    (
+        "1000-frame distributed global BA parity gap",
+        r"\*\*max rel cost gap ([\d.]+)e-9\*\*",
+        lambda: _latest("DISTBA1000_r0[5-9]*.json")[
+            "max_rel_cost_gap_vs_single_device"
+        ]
+        * 1e9,
+    ),
 ]
 
 

@@ -97,7 +97,7 @@ def test_pipeline_output_sharded_global_ba_vs_exact_truth(synth_config):
     the whole-trajectory problem and solved SHARDED over the virtual mesh —
     parity with the single-device solve, and ATE vs the EXACT analytic
     camera path must not regress. Full scale (1000 frames, 8 shards) runs
-    in examples/run_distba1000_pipeline.py -> DISTBA1000_r04.json."""
+    in examples/run_distba1000_pipeline.py -> DISTBA1000_r05.json."""
     frames_n = 60
     imgs, K, C_gt, _ = synthetic_scene_sequence(
         n_frames=frames_n, size=(240, 320), seed=3, loops=2.0
