@@ -36,6 +36,14 @@ def main() -> int:
     ap.add_argument("--max-kp", type=int, default=1024)
     ap.add_argument("--upsample", action="store_true")
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--extrema-dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--grad-dtype", default="bf16", choices=["bf16", "f32"])
+    ap.add_argument("--sampling", default="shared", choices=["shared", "rotated"])
+    ap.add_argument(
+        "--full-only", action="store_true",
+        help="skip the cumulative stage programs; time only the fused "
+        "detect_and_describe (for A/B config comparisons)",
+    )
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
@@ -50,6 +58,9 @@ def main() -> int:
         max_keypoints=args.max_kp,
         upsample_first_octave=args.upsample,
         num_octaves=5 if args.upsample else 4,
+        extrema_dtype=args.extrema_dtype,
+        grad_dtype=args.grad_dtype,
+        sampling=args.sampling,
     )
     img = load_image_grayscale(
         "/root/reference/test_dataset/upenn/image0000001.bmp"
@@ -149,6 +160,43 @@ def main() -> int:
         )
         return jnp.sum(ox) + jnp.sum(oy) + jnp.sum(so)
 
+    def through_subpixel(im):
+        octs, outs = candidates(im)
+        dog_octs = [o[0] for o in outs]
+        xi = jnp.concatenate([o[1] for o in outs])
+        yi = jnp.concatenate([o[2] for o in outs])
+        s_idx = jnp.concatenate([o[3] for o in outs])
+        resp = jnp.concatenate([o[4] for o in outs])
+        ok = jnp.concatenate([o[5] for o in outs])
+        oct_idx = jnp.concatenate(
+            [
+                jnp.full((cfg.max_keypoints,), o, jnp.int32)
+                for o in range(cfg.num_octaves)
+            ]
+        )
+        score = jnp.where(ok, resp, -1.0)
+        top, idx = jax.lax.top_k(score, cfg.max_keypoints)
+        xi, yi = xi[idx], yi[idx]
+        s_sel, oct_sel = s_idx[idx], oct_idx[idx]
+        dog_flat = jnp.concatenate([d.reshape(-1) for d in dog_octs])
+        dsz = [d.shape[1] * d.shape[2] for d in dog_octs]
+        dbs = np.cumsum([0] + [d.size for d in dog_octs])[:-1]
+        ob = jnp.asarray(dbs, jnp.int32)[oct_sel]
+        oh = jnp.asarray([d.shape[1] for d in dog_octs], jnp.int32)[oct_sel]
+        ow = jnp.asarray([d.shape[2] for d in dog_octs], jnp.int32)[oct_sel]
+        ohw = jnp.asarray(dsz, jnp.int32)[oct_sel]
+        ox, oy, so, mx, my, ms = F._subpixel_offset_3d(
+            dog_flat, ob, oh, ow, ohw, S, s_sel, yi, xi
+        )
+        s_lvl = jnp.clip(
+            jnp.round(jnp.clip(s_sel + ms, 0, S + 2).astype(jnp.float32) + so)
+            .astype(jnp.int32), 0, S,
+        )
+        x = (xi + mx).astype(jnp.float32) + ox
+        y = (yi + my).astype(jnp.float32) + oy
+        sig = 1.6 * (2.0 ** (s_sel.astype(jnp.float32) / S))
+        return octs, oct_sel, s_lvl, x, y, sig
+
     def stage_gradbuf(im):
         # tail split part 1: the keypoint-INDEPENDENT gradient-buffer build
         # (streams the whole pyramid; scales with pixel count, which is why
@@ -158,6 +206,31 @@ def main() -> int:
         grad_octs = [g[: S + 1] for g in octs]
         g4 = F._flat_gradients(grad_octs, cfg.grad_pack, cfg.grad_dtype)
         return jnp.sum(g4[:4].astype(jnp.float32)) + stage_subpixel(im)
+
+    def stage_sample(im):
+        # tail split part 2: the shared-grid pyramid gathers (row-latency
+        # bound). full - this = histogram/binning arithmetic + dup/re-rank.
+        octs, oct_sel, s_lvl, x, y, sig = through_subpixel(im)
+        grad_octs = [g[: S + 1] for g in octs]
+        pk = "chunk64" if cfg.sampling == "shared" else cfg.grad_pack
+        g4 = F._flat_gradients(grad_octs, pk, cfg.grad_dtype)
+        pyr = F._flat_pyramid(grad_octs, oct_sel, g4)
+        g, dxs, dys = F._sample_shared_grid(
+            pyr, s_lvl, x, y, sig, cfg.shared_grid, cfg.shared_grid_step
+        )
+        return jnp.sum(g[:2]) + jnp.sum(x)
+
+    def stage_orient(im):
+        octs, oct_sel, s_lvl, x, y, sig = through_subpixel(im)
+        grad_octs = [g[: S + 1] for g in octs]
+        pk = "chunk64" if cfg.sampling == "shared" else cfg.grad_pack
+        g4 = F._flat_gradients(grad_octs, pk, cfg.grad_dtype)
+        pyr = F._flat_pyramid(grad_octs, oct_sel, g4)
+        g, dxs, dys = F._sample_shared_grid(
+            pyr, s_lvl, x, y, sig, cfg.shared_grid, cfg.shared_grid_step
+        )
+        a1, a2, h2 = F._orientation_from_samples(g, dxs, dys)
+        return jnp.sum(a1) + jnp.sum(a2) + jnp.sum(h2)
 
     def stage_full(im):
         kps, desc = F.detect_and_describe(im, cfg)
@@ -169,8 +242,12 @@ def main() -> int:
         ("+topk", stage_topk),
         ("+subpixel", stage_subpixel),
         ("+gradbuf", stage_gradbuf),
+        ("+sample", stage_sample),
+        ("+orient", stage_orient),
         ("full", stage_full),
     ]
+    if args.full_only:
+        stages = [("full", stage_full)]
     out = {
         "device": jax.default_backend(),
         "image": [int(img.shape[0]), int(img.shape[1])],

@@ -108,6 +108,12 @@ class FrontendConfig:
     # keypoint top-k sets, which measurably moves single-sequence accuracy
     # metrics in either direction.
     blur_impl: str = "matmul"
+    # MXU matmul precision of the pyramid blurs. "high" = bf16x3 passes
+    # (1.5e-5 max error vs f64 on unit-range images); "fast" = single bf16
+    # pass — ~3x less MXU time on the pyramid (the largest detect stage at
+    # the 2x first octave) for ~1e-3 relative blur error, which shifts
+    # near-threshold DoG candidates; quality gates arbitrate the default.
+    blur_precision: str = "high"
     # per-octave candidate selection over the multi-million-entry response
     # maps. "exact" (default): lax.top_k full sort. "approx": the TPU
     # approx_max_k PartialReduce — ~6 ms/frame faster at 1024 kp, but its
@@ -144,6 +150,21 @@ class FrontendConfig:
     # reorders near-exact ties, which the contrast threshold filters.
     # "f32" restores exact numerics.
     extrema_dtype: str = "bf16"
+    # orientation/descriptor sampling strategy. "shared" (cv2-SIFT's
+    # structure): ONE unrotated sigma-scaled sample grid per keypoint
+    # serves both the orientation histogram and the descriptor — offsets
+    # are rotated into the descriptor frame at binning time, so the
+    # second-orientation duplicates re-bin the SAME samples for free;
+    # ~40% fewer pyramid gather rows (the dominant detect-tail cost).
+    # "rotated": two separate 16x16 sample passes (orientation window +
+    # per-orientation rotated descriptor grid) — the pre-round-5 path.
+    sampling: str = "shared"
+    # shared-grid geometry: G x G samples at `step` sigma spacing. 18 x
+    # 0.95 spans +-8.1 sigma — covers the rotated 4x4-cell support
+    # (corners at 8.5 sigma carry near-zero Gaussian weight) at a spacing
+    # close to the rotated grid's 0.75 sigma.
+    shared_grid: int = 18
+    shared_grid_step: float = 0.95
 
 
 @dataclasses.dataclass(frozen=True)

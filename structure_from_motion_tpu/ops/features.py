@@ -85,7 +85,9 @@ def _band(k: np.ndarray, n: int) -> jnp.ndarray:
     return jnp.where(inb, kd[jnp.clip(d, 0, 2 * r)], 0.0)
 
 
-def _blur(img: Array, sigma: float, impl: str = "matmul") -> Array:
+def _blur(
+    img: Array, sigma: float, impl: str = "matmul", precision: str = "high"
+) -> Array:
     """Separable Gaussian blur of a (H, W) image.
 
     TPU: two banded matmuls (Bv @ img @ Bh^T) so the smoothing runs on the
@@ -98,8 +100,13 @@ def _blur(img: Array, sigma: float, impl: str = "matmul") -> Array:
         h, w = img.shape
         Bh = _band(k, w)
         Bv = _band(k, h)
-        hi = jnp.dot(img, Bh.T, precision=jax.lax.Precision.HIGH)
-        return jnp.dot(Bv, hi, precision=jax.lax.Precision.HIGH)
+        prec = (
+            jax.lax.Precision.DEFAULT
+            if precision == "fast"
+            else jax.lax.Precision.HIGH
+        )
+        hi = jnp.dot(img, Bh.T, precision=prec)
+        return jnp.dot(Bv, hi, precision=prec)
     r = (k.shape[0] - 1) // 2
     x = img[None, None, :, :]
     kh = k.reshape(1, 1, 1, -1)
@@ -109,7 +116,9 @@ def _blur(img: Array, sigma: float, impl: str = "matmul") -> Array:
     return x[0, 0]
 
 
-def _blur_levels(base: Array, rel_sigmas: list, impl: str = "matmul") -> Array:
+def _blur_levels(
+    base: Array, rel_sigmas: list, impl: str = "matmul", precision: str = "high"
+) -> Array:
     """All pyramid levels of one octave in TWO grouped convolutions.
 
     ``base`` (H, W) is level 0; level i = gaussian(base, rel_sigmas[i-1])
@@ -124,12 +133,13 @@ def _blur_levels(base: Array, rel_sigmas: list, impl: str = "matmul") -> Array:
         h, w = base.shape
         Bh = jnp.stack([_band(k, w) for k in ks])  # (L, W, W)
         Bv = jnp.stack([_band(k, h) for k in ks])  # (L, H, H)
-        hi = jnp.einsum(
-            "hw,lvw->lhv", base, Bh, precision=jax.lax.Precision.HIGH
+        prec = (
+            jax.lax.Precision.DEFAULT
+            if precision == "fast"
+            else jax.lax.Precision.HIGH
         )
-        out = jnp.einsum(
-            "lgh,lhv->lgv", Bv, hi, precision=jax.lax.Precision.HIGH
-        )
+        hi = jnp.einsum("hw,lvw->lhv", base, Bh, precision=prec)
+        out = jnp.einsum("lgh,lhv->lgv", Bv, hi, precision=prec)
         return jnp.concatenate([base[None], out], axis=0)
     radius = max((k.shape[0] - 1) // 2 for k in ks)
     width = 2 * radius + 1
@@ -312,10 +322,15 @@ def _subpixel_offset_3d(
             ],
             axis=-2,
         )  # (n, 3, 3)
-        # tiny Tikhonov keeps the batched solve finite on flat
-        # neighbourhoods; non-finite results fall back to zero offset
+        # closed-form adjugate inverse: jnp.linalg.solve on (n, 3, 3) is a
+        # batched LU that lowers poorly on TPU (small-matrix linalg is
+        # loop-bound); the elementwise cofactor inverse is pure VPU math.
+        # Tiny Tikhonov keeps flat neighbourhoods finite; non-finite
+        # results fall back to zero offset.
+        from structure_from_motion_tpu.ops.linalg import inv3x3
+
         eye = jnp.eye(3, dtype=flat.dtype) * 1e-12
-        delta = jnp.linalg.solve(H + eye, -g[..., None])[..., 0]
+        delta = -jnp.einsum("nij,nj->ni", inv3x3(H + eye), g)
         return jnp.where(jnp.isfinite(delta), delta, 0.0)
 
     s_i, y_i, x_i = s_idx, yy, xx
@@ -555,6 +570,33 @@ def _flat_gradients(
     medians unchanged on the upenn gates; samplers upcast to f32 after the
     gather)."""
     dt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+    if pack == "chunk64":
+        # plain per-pixel (gx, gy) rows reshaped into 64-pixel chunks:
+        # (N/64, 64, 2). Serves the axis-aligned shared sample grid
+        # (``_bilinear_sample_chunked``), whose per-grid-row samples span
+        # <= 60 contiguous pixels of one image row — 4 chunk-gathers per
+        # (keypoint, grid row) replace ~2 G single-row gathers, and the
+        # build streams half the bytes of the quad pack (4 B/pixel vs 16).
+        outs = []
+        for g in gauss_octs:
+            g = g.astype(dt)
+            outs.append(
+                jnp.stack(
+                    [
+                        jnp.gradient(g, axis=2).reshape(-1),
+                        jnp.gradient(g, axis=1).reshape(-1),
+                    ],
+                    axis=-1,
+                )
+            )
+        g2 = jnp.concatenate(outs)
+        pad = (-g2.shape[0]) % 64 + 64  # spare tail chunk for c0 + 1
+        g2 = jnp.concatenate([g2, jnp.zeros((pad, 2), g2.dtype)])
+        # 64-px chunks at 64-px stride; the sampler gathers rows c0 and
+        # c0+1 per (keypoint, grid row, y-tap). An overlapping 128-px-row
+        # variant (one gather) was measured SLOWER (13.4 vs 7.3 ms tail):
+        # the TPU gather is row-transaction bound only up to ~256 B rows.
+        return g2.reshape(-1, 64, 2)
     if pack == "quad":
         outs = []
         for g in gauss_octs:  # (L, H, W)
@@ -716,6 +758,46 @@ def _bilinear_sample_paired(
     )
 
 
+def _hist_peaks(mag_w: Array, ang: Array) -> tuple[Array, Array, Array]:
+    """36-bin weighted orientation histogram -> (angle1, angle2, has2):
+    the two best circularly-separated local maxima, parabola-refined, with
+    ``has2`` = secondary clears 0.8x the primary (Lowe's multi-peak rule).
+    Shared by the rotated-grid and shared-sample orientation paths."""
+    hist_bins = 36
+    b = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * hist_bins).astype(jnp.int32) % hist_bins
+    onehot = jax.nn.one_hot(b, hist_bins, dtype=jnp.float32)  # (n, K, 36)
+    hist = jnp.einsum("nk,nkb->nb", mag_w, onehot)
+    hist = (jnp.roll(hist, 1, axis=1) + hist + jnp.roll(hist, -1, axis=1)) / 3.0
+
+    left = jnp.roll(hist, 1, axis=1)
+    right = jnp.roll(hist, -1, axis=1)
+
+    def peak_angle(p):
+        l = jnp.take_along_axis(left, p[:, None], 1)[:, 0]
+        r = jnp.take_along_axis(right, p[:, None], 1)[:, 0]
+        v = jnp.take_along_axis(hist, p[:, None], 1)[:, 0]
+        denom = l - 2 * v + r
+        off = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l - r) / denom, 0.0)
+        off = jnp.clip(off, -0.5, 0.5)
+        return (
+            (p.astype(jnp.float32) + 0.5 + off) / hist_bins * 2 * jnp.pi - jnp.pi
+        )
+
+    peak1 = jnp.argmax(hist, axis=1)
+    v1 = jnp.max(hist, axis=1)
+    # secondary: best circular local maximum that is not (a neighbour of)
+    # the primary bin
+    is_local_max = (hist >= left) & (hist >= right)
+    bins = jnp.arange(hist_bins)[None, :]
+    d = jnp.abs(bins - peak1[:, None])
+    near1 = jnp.minimum(d, hist_bins - d) <= 1
+    cand = jnp.where(is_local_max & ~near1, hist, -1.0)
+    peak2 = jnp.argmax(cand, axis=1)
+    v2 = jnp.max(cand, axis=1)
+    has2 = v2 >= 0.8 * v1
+    return peak_angle(peak1), peak_angle(peak2), has2
+
+
 def _orientation_peaks(
     pyr: _FlatPyramid, s_lvl: Array, x: Array, y: Array, sig: Array
 ) -> tuple[Array, Array, Array]:
@@ -746,39 +828,7 @@ def _orientation_peaks(
         -(gxx.reshape(-1)[None, :] ** 2 + gyy.reshape(-1)[None, :] ** 2)
         / (2 * 0.5**2)
     )
-    hist_bins = 36
-    b = jnp.floor((ang + jnp.pi) / (2 * jnp.pi) * hist_bins).astype(jnp.int32) % hist_bins
-    onehot = jax.nn.one_hot(b, hist_bins, dtype=jnp.float32)  # (n, G*G, 36)
-    hist = jnp.einsum("nk,nkb->nb", mag * wgt, onehot)
-    hist = (jnp.roll(hist, 1, axis=1) + hist + jnp.roll(hist, -1, axis=1)) / 3.0
-
-    left = jnp.roll(hist, 1, axis=1)
-    right = jnp.roll(hist, -1, axis=1)
-
-    def peak_angle(p):
-        l = jnp.take_along_axis(left, p[:, None], 1)[:, 0]
-        r = jnp.take_along_axis(right, p[:, None], 1)[:, 0]
-        v = jnp.take_along_axis(hist, p[:, None], 1)[:, 0]
-        denom = l - 2 * v + r
-        off = jnp.where(jnp.abs(denom) > 1e-12, 0.5 * (l - r) / denom, 0.0)
-        off = jnp.clip(off, -0.5, 0.5)
-        return (
-            (p.astype(jnp.float32) + 0.5 + off) / hist_bins * 2 * jnp.pi - jnp.pi
-        )
-
-    peak1 = jnp.argmax(hist, axis=1)
-    v1 = jnp.max(hist, axis=1)
-    # secondary: best circular local maximum that is not (a neighbour of)
-    # the primary bin
-    is_local_max = (hist >= left) & (hist >= right)
-    bins = jnp.arange(hist_bins)[None, :]
-    d = jnp.abs(bins - peak1[:, None])
-    near1 = jnp.minimum(d, hist_bins - d) <= 1
-    cand = jnp.where(is_local_max & ~near1, hist, -1.0)
-    peak2 = jnp.argmax(cand, axis=1)
-    v2 = jnp.max(cand, axis=1)
-    has2 = v2 >= 0.8 * v1
-    return peak_angle(peak1), peak_angle(peak2), has2
+    return _hist_peaks(mag * wgt, ang)
 
 
 # bilinear spatial cell weights of the 16x16 descriptor grid: sample row i
@@ -835,6 +885,174 @@ def _descriptors_for(
     oh1 = jax.nn.one_hot((b0 + 1) % 8, 8, dtype=jnp.float32) * frac[..., None]
     orient = oh0 + oh1  # (n, 256, 8)
     desc = jnp.einsum("nkb,kc,nk->ncb", orient, spatial, w_desc)
+    desc = desc.reshape(n, 128)
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-9)
+    desc = jnp.minimum(desc, 0.2)
+    desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-9)
+    desc = desc * 512.0
+    return jnp.where(valid[:, None], desc, 0.0)
+
+
+def _bilinear_sample_chunked(
+    pyr: _FlatPyramid, s: Array, sx: Array, sy: Array, G: int
+) -> Array:
+    """Bilinear (gx, gy) sampling of an AXIS-ALIGNED G x G grid from the
+    64-pixel-chunked plain gradient buffer (``grad_pack="chunk64"``).
+
+    The shared sample grid is unrotated, so all G samples of one grid row
+    share a single sy (one y0) and their x positions span <= ~60
+    contiguous pixels of one image row — which is at most TWO 64-pixel
+    chunks of the flat buffer regardless of alignment (row-crossing chunks
+    are harmless: taps are flat-index adjacent, and flat indexing is exact
+    everywhere). Gather rows per keypoint: G grid rows x 2 y-taps x 2
+    chunks = 4G, vs 2 G^2 single-pixel rows for the generic sampler —
+    ~4.5x fewer row transactions on the row-latency-bound pyramid gather
+    (measured 10.0 ms -> ~2-3 ms at 1024 keypoints, G=18, 2x octave).
+    Zero outside the octave image, f32 output — same semantics as
+    :func:`_bilinear_sample_flat` (parity-tested)."""
+    n, K = sx.shape
+    g2c = pyr.g4  # (Nc, 64, 2)
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    fx = (sx - x0).reshape(n, G, G)
+    fy = (sy - y0).reshape(n, G, G)
+    x0i = x0.astype(jnp.int32).reshape(n, G, G)
+    y0l = y0.astype(jnp.int32).reshape(n, G, G)[:, :, 0]  # (n, G): one sy/row
+    h = pyr.h[:, None]  # (n, 1)
+    w = pyr.w[:, None]
+    start = (pyr.base + s * pyr.hw)[:, None]  # (n, 1)
+
+    ys = jnp.stack([y0l, y0l + 1], axis=-1)  # (n, G, 2) the two y-taps
+    yin = (ys >= 0) & (ys < h[..., None])
+    ycl = jnp.clip(ys, 0, h[..., None] - 1)
+    # anchor chunk: flat index of the row's FIRST sample's clipped x0
+    xg = jnp.clip(x0i, 0, w[..., None] - 2)  # (n, G, G) monotone per row
+    f0 = start[..., None] + ycl * w[..., None] + xg[:, :, :1]  # (n, G, 2)
+    c0 = f0 // 64
+    # gather both chunks for every (kp, grid row, y-tap): (n, G, 2, 2, 64, 2)
+    chunks = g2c[jnp.stack([c0, c0 + 1], axis=-1)]
+    strip = chunks.reshape(n, G, 2, 128, 2)
+
+    # In-strip extraction + bilinear combine as ONE fused weighted-one-hot
+    # contraction per channel. take_along_axis over the 128-strip axis
+    # lowers to a ~20 ms gather at these shapes (measured ~1.4 ms as an
+    # iota-compare einsum), and any einsum whose OUTPUT minor dim is the
+    # 2-channel axis gets lane-padded 2 -> 128 (hundreds of MB of physical
+    # traffic). So: build W[n,g,t,k,c] = bilinear_weight * [c == off] for
+    # both x-taps folded together, contract the 128-lane strip axis per
+    # channel, and the output (n, G, G) keeps a sane layout end to end.
+    def offs(px):  # (n, G, G) pixel x -> strip offsets + validity
+        pin = (px >= 0) & (px < w[..., None])
+        pcl = jnp.clip(px, 0, w[..., None] - 1)
+        f = (
+            start[..., None, None]
+            + ycl[:, :, :, None] * w[..., None, None]
+            + pcl[:, :, None, :]
+        )  # (n, G, 2, G)
+        off = (f - c0[..., None] * 64).astype(jnp.int32)
+        return off, pin[:, :, None, :] & yin[..., None]
+
+    off0, in0 = offs(x0i)
+    off1, in1 = offs(x0i + 1)
+    lane = jnp.arange(128, dtype=jnp.int32)
+    fxt = fx[:, :, None, :]  # (n, G, 1, G) broadcast over y-taps
+    fyt = jnp.stack([1.0 - fy[:, :, 0], fy[:, :, 0]], axis=2)[
+        :, :, :, None
+    ]  # (n, G, 2, 1): weight of y-tap t (fy constant per grid row)
+    wt0 = jnp.where(in0, (1.0 - fxt) * fyt, 0.0)
+    wt1 = jnp.where(in1, fxt * fyt, 0.0)
+    W = (
+        wt0[..., None] * (off0[..., None] == lane)
+        + wt1[..., None] * (off1[..., None] == lane)
+    ).astype(strip.dtype)  # (n, G, 2, G, 128)
+    outs = [
+        jnp.einsum("ngtkc,ngtc->ngk", W, strip[..., d]).astype(jnp.float32)
+        for d in range(2)
+    ]
+    return jnp.stack(outs, axis=-1).reshape(n, K, 2)
+
+
+def _sample_shared_grid(
+    pyr: _FlatPyramid, s_lvl: Array, x: Array, y: Array, sig: Array,
+    G: int, step: float,
+):
+    """ONE unrotated G x G sample grid (offsets in sigma units) serving
+    BOTH the orientation histogram and the descriptor
+    (``FrontendConfig.sampling="shared"``).
+
+    This is cv2-SIFT's actual structure: it walks an UNROTATED pixel
+    window around the keypoint and rotates each sample's OFFSET into the
+    descriptor frame when binning — only our sampling is a fixed
+    sigma-scaled grid instead of every pixel. The rotated-grid path
+    (``"rotated"``) gathers two separate 256-sample sets per keypoint
+    (orientation + per-orientation descriptor); sharing one pass cuts the
+    gather rows ~40% and makes second-orientation duplicates gather-FREE
+    (their descriptor reuses the same samples under a different angle).
+    Pyramid gathers are the dominant detect-tail cost (row-latency-bound,
+    11.7 ms of the 31 ms accuracy-config detect)."""
+    lin = (np.arange(G, dtype=np.float32) - (G - 1) / 2.0) * step
+    gy, gx = np.meshgrid(lin, lin, indexing="ij")
+    dxs = jnp.asarray(gx.reshape(-1))  # (K,) sigma units
+    dys = jnp.asarray(gy.reshape(-1))
+    sx = x[:, None] + sig[:, None] * dxs[None, :]
+    sy = y[:, None] + sig[:, None] * dys[None, :]
+    if pyr.g4.ndim == 3:  # chunk64 layout
+        g = _bilinear_sample_chunked(pyr, s_lvl, sx, sy, G)
+    else:
+        g = _bilinear_sample_paired(pyr, s_lvl, sx, sy)  # (n, K, 2)
+    return g, dxs, dys
+
+
+def _orientation_from_samples(
+    g: Array, dxs: Array, dys: Array
+) -> tuple[Array, Array, Array]:
+    """Orientation peaks from the shared sample grid: same 36-bin
+    parabola-refined histogram as :func:`_orientation_peaks`, with the
+    2.25-sigma Gaussian window expressed in the grid's sigma units."""
+    gxs, gys = g[..., 0], g[..., 1]
+    mag = jnp.sqrt(gxs**2 + gys**2)
+    ang = jnp.arctan2(gys, gxs)
+    wgt = jnp.exp(-(dxs**2 + dys**2)[None, :] / (2 * 2.25**2))
+    return _hist_peaks(mag * wgt, ang)
+
+
+def _descriptors_from_samples(
+    g: Array, dxs: Array, dys: Array, angle: Array, valid: Array
+) -> Array:
+    """128-d descriptor from the shared unrotated samples: each sample's
+    sigma-unit offset is rotated INTO the descriptor frame (u, v), its
+    4x4 spatial cell weights computed from the rotated coordinates
+    (dynamic per keypoint — the rotated-grid path's static (256, 16)
+    matrix becomes two (n, K, 4) hat-weight tensors), gradient angles
+    shifted by -angle, then the same trilinear binning / Gaussian window /
+    L2-clip-L2 normalisation as :func:`_descriptors_for`. Samples whose
+    rotated coordinate falls outside the 4x4 cell span get zero spatial
+    weight — exactly cv2-SIFT's in-window test."""
+    n = g.shape[0]
+    gxd, gyd = g[..., 0], g[..., 1]
+    magd = jnp.sqrt(gxd**2 + gyd**2)
+    angd = jnp.arctan2(gyd, gxd) - angle[:, None]
+    ca, sa = jnp.cos(angle)[:, None], jnp.sin(angle)[:, None]
+    # descriptor-frame coordinates in CELL units: descriptor sample
+    # spacing is 0.75 sigma and a cell spans 4 samples = 3 sigma; the
+    # rotated-grid path's cell coordinate for offset d is d/(3 sigma)+1.5
+    u = (ca * dxs[None, :] + sa * dys[None, :]) / 3.0 + 1.5
+    v = (-sa * dxs[None, :] + ca * dys[None, :]) / 3.0 + 1.5
+    cells = jnp.arange(4, dtype=jnp.float32)
+    wu = jnp.maximum(0.0, 1.0 - jnp.abs(u[..., None] - cells))  # (n,K,4)
+    wv = jnp.maximum(0.0, 1.0 - jnp.abs(v[..., None] - cells))
+    # Gaussian window over the (rotation-invariant) radius, sigma = half
+    # the descriptor support (0.5 * 16 * 0.75 sigma) — matches the rotated
+    # path's w_desc
+    w = magd * jnp.exp(-(dxs**2 + dys**2)[None, :] / (2 * 6.0**2))
+
+    ob = (angd + 2 * jnp.pi) % (2 * jnp.pi) / (2 * jnp.pi) * 8.0
+    b0 = jnp.floor(ob).astype(jnp.int32) % 8
+    frac = ob - jnp.floor(ob)
+    oh0 = jax.nn.one_hot(b0, 8, dtype=jnp.float32) * (1 - frac)[..., None]
+    oh1 = jax.nn.one_hot((b0 + 1) % 8, 8, dtype=jnp.float32) * frac[..., None]
+    orient = oh0 + oh1  # (n, K, 8)
+    desc = jnp.einsum("nkv,nku,nkb,nk->nvub", wv, wu, orient, w)
     desc = desc.reshape(n, 128)
     desc = desc / jnp.maximum(jnp.linalg.norm(desc, axis=1, keepdims=True), 1e-9)
     desc = jnp.minimum(desc, 0.2)
@@ -1033,11 +1251,16 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
         # to carry sigma = 0.5 of blur, so the doubled image carries 1.0 and
         # the incremental blur to sigma0 is sqrt(sigma0^2 - 1))
         img = jax.image.resize(img, (H0 * 2, W0 * 2), "linear")
-        base = _blur(img, math.sqrt(max(cfg.sigma0**2 - 1.0, 0.01)), cfg.blur_impl)
+        base = _blur(
+            img, math.sqrt(max(cfg.sigma0**2 - 1.0, 0.01)), cfg.blur_impl,
+            cfg.blur_precision,
+        )
     else:
-        base = _blur(img, cfg.sigma0, cfg.blur_impl)
+        base = _blur(img, cfg.sigma0, cfg.blur_impl, cfg.blur_precision)
     for o in range(cfg.num_octaves):
-        gauss = _blur_levels(base, rel_sigmas, cfg.blur_impl)  # (S+3, H_o, W_o)
+        gauss = _blur_levels(
+            base, rel_sigmas, cfg.blur_impl, cfg.blur_precision
+        )  # (S+3, H_o, W_o)
         gauss_octs.append(gauss)
 
         dog, x, y, s_idx, resp, ok = _octave_candidates(gauss, cfg, per_octave_k)
@@ -1113,9 +1336,27 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
     # stack — a third less bandwidth in the build, which streams the whole
     # pyramid several times and dominates the tail after quad packing.
     grad_octs = [g[: S + 1] for g in gauss_octs]
-    g4 = _flat_gradients(grad_octs, cfg.grad_pack, cfg.grad_dtype)
+    shared = cfg.sampling == "shared"
+    if shared:
+        # axis-aligned grid -> chunked buffer + strip extraction; guard the
+        # sampler's two-chunks-per-grid-row invariant (span + bilinear tap
+        # must fit a 128-px strip window starting in the anchor chunk)
+        sig_max = sigmas[S] * k_per_level**0.5
+        assert (cfg.shared_grid - 1) * cfg.shared_grid_step * sig_max + 2 <= 64, (
+            "shared grid span exceeds the 64-px chunk invariant"
+        )
+        pack = "chunk64"
+    else:
+        pack = cfg.grad_pack
+    g4 = _flat_gradients(grad_octs, pack, cfg.grad_dtype)
     pyr = _flat_pyramid(grad_octs, oct_sel, g4)
-    angle1, angle2, has2 = _orientation_peaks(pyr, s_lvl, x, y, sig)
+    if shared:
+        g_smp, dxs, dys = _sample_shared_grid(
+            pyr, s_lvl, x, y, sig, cfg.shared_grid, cfg.shared_grid_step
+        )
+        angle1, angle2, has2 = _orientation_from_samples(g_smp, dxs, dys)
+    else:
+        angle1, angle2, has2 = _orientation_peaks(pyr, s_lvl, x, y, sig)
 
     # duplicate keypoints with a secondary orientation (Lowe's multi-peak
     # rule) and re-rank: a strong keypoint's second orientation displaces
@@ -1136,10 +1377,17 @@ def detect_and_describe(img: Array, cfg: FrontendConfig):
     mask = top2 > 0.0
 
     # -- phase 2b: descriptors for the final winners only -------------------
-    # octaves flattened into one 1-D pyramid buffer so every sample is ONE
-    # gather instead of a per-level masked loop
-    pyr = _flat_pyramid(grad_octs, oct_sel, g4)
-    desc = _descriptors_for(pyr, s_lvl, x, y, sig, angle, mask)
+    if shared:
+        # the winners' samples already exist — descriptors re-bin the dup'd
+        # sample rows under each winner's angle, no further pyramid gathers
+        desc = _descriptors_from_samples(
+            jnp.concatenate([g_smp, g_smp])[idx2], dxs, dys, angle, mask
+        )
+    else:
+        # octaves flattened into one 1-D pyramid buffer so every sample is
+        # ONE gather instead of a per-level masked loop
+        pyr = _flat_pyramid(grad_octs, oct_sel, g4)
+        desc = _descriptors_for(pyr, s_lvl, x, y, sig, angle, mask)
 
     # octave -> full-resolution pixels (octave 0 is the 2x-doubled image
     # when upsample_first_octave, hence the 0.5 factor)

@@ -269,3 +269,42 @@ def test_quad_sampler_matches_unpaired_reference():
     ref = F._bilinear_sample_flat(g2, pyr.base, s, sx, sy, pyr.h, pyr.w, pyr.hw)
     got = F._bilinear_sample_paired(pyr, s, sx, sy)  # dispatches on width 8
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_chunked_sampler_matches_unpaired_reference():
+    """_bilinear_sample_chunked (4 chunk-gathers per grid row over the
+    chunk64 buffer — the shared-sampling product path) must reproduce
+    _bilinear_sample_flat exactly on an axis-aligned grid, including grid
+    rows straddling every border and chunk boundaries mid-row."""
+    import numpy as np
+
+    from structure_from_motion_tpu.ops import features as F
+
+    rng = np.random.default_rng(2)
+    h, w, L = 96, 100, 3  # w NOT a 64-multiple: chunks cross image rows
+    g3 = jnp.asarray(rng.normal(size=(L, h, w)).astype(np.float32))
+    gx = jnp.gradient(g3, axis=2)
+    gy = jnp.gradient(g3, axis=1)
+    g2 = jnp.stack([gx, gy], axis=-1).reshape(-1, 2)
+    g2c = F._flat_gradients([g3], "chunk64")
+    assert g2c.ndim == 3 and g2c.shape[1:] == (64, 2)
+    n, G = 48, 18
+    step = 0.95
+    mkpyr = lambda buf: F._FlatPyramid(  # noqa: E731
+        g4=buf,
+        base=jnp.zeros((n,), jnp.int32),
+        h=jnp.full((n,), h, jnp.int32),
+        w=jnp.full((n,), w, jnp.int32),
+        hw=jnp.full((n,), h * w, jnp.int32),
+    )
+    s = jnp.asarray(rng.integers(0, L, n), jnp.int32)
+    # centers including ones whose grid straddles each border
+    x = jnp.asarray(rng.uniform(2, w - 2, n), jnp.float32)
+    y = jnp.asarray(rng.uniform(2, h - 2, n), jnp.float32)
+    sig = jnp.asarray(rng.uniform(1.2, 3.5, n), jnp.float32)
+    got, dxs, dys = F._sample_shared_grid(mkpyr(g2c), s, x, y, sig, G, step)
+    sx = x[:, None] + sig[:, None] * dxs[None, :]
+    sy = y[:, None] + sig[:, None] * dys[None, :]
+    pyr = mkpyr(g2)
+    ref = F._bilinear_sample_flat(g2, pyr.base, s, sx, sy, pyr.h, pyr.w, pyr.hw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
