@@ -42,7 +42,9 @@ def _pixel_stats(engine, n_live: int, focal: float) -> dict:
 
     prob = build_global_problem(engine.state, engine._archive, n_live)
     st, obs = prob.state, prob.obs
-    res, _, _ = batched_residual_jacobians(st.C, st.q, st.X, obs.uv_norm)
+    res, _, _ = batched_residual_jacobians(
+        st.C[obs.cam], st.q[obs.cam], st.X[obs.point], obs.uv_norm
+    )
     r = np.asarray(
         jnp.linalg.norm(res, axis=-1) * obs.valid.astype(res.dtype)
     )
