@@ -260,11 +260,16 @@ def main() -> int:
         j = jax.jit(fn)
         float(j(img))  # compile + warm
         float(j(img))
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
-            v = j(img)
-        float(v)
-        dt = (time.perf_counter() - t0) / args.reps * 1e3
+        # min over 3 timed windows: the tunnelled chip shows ~±10%
+        # window-to-window drift (measured 26.9-30.9 ms on an identical
+        # program across sessions); the MIN is the honest on-chip cost
+        dt = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                v = j(img)
+            float(v)
+            dt = min(dt, (time.perf_counter() - t0) / args.reps * 1e3)
         out[f"{name}_ms"] = round(dt, 3)
         out[f"{name}_delta_ms"] = round(dt - prev, 3)
         prev = dt
