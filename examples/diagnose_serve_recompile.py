@@ -17,7 +17,7 @@ text — if the round trip denormalizes the program (e.g. VHLO upgrade
 expands composites, drops mhlo attributes, or loses donation/layout
 hints), the histogram diff names the ops responsible.
 
-Writes SERVE_DIAG_r04.json. Run on the real TPU (no args).
+Writes SERVE_DIAG_r05.json. Run on the real TPU (no args).
 """
 
 from __future__ import annotations
@@ -61,20 +61,29 @@ def main() -> int:
         ),
     )
     engine = IncrementalSfM(cfg, upenn_intrinsics(), frontend="native")
+    engine.image_shape = (960, 1280)
     st = engine.state
     import dataclasses
 
     fin_cfg = dataclasses.replace(
         cfg, ba=dataclasses.replace(cfg.ba, iterations=10)
     )
-    fn = functools.partial(I._ba_stage, config=fin_cfg)
+    if os.environ.get("SERVE_DIAG_PROGRAM", "finalize") == "frame_step_native":
+        # the DOMINANT cold-start compile: the fused per-frame program
+        # (detect -> match -> lax.switch(bootstrap/localize) -> metrics)
+        args = S._example_args(engine)["frame_step_native"]
+        fn = functools.partial(I._frame_step_native, config=cfg)
+        prog_name = "frame_step_native (fused per-frame program)"
+    else:
+        args = (st,)
+        fn = functools.partial(I._ba_stage, config=fin_cfg)
+        prog_name = "finalize (_ba_stage, 10 LM iterations)"
     jfn = jax.jit(fn)
 
-    out = {"program": "finalize (_ba_stage, 10 LM iterations)",
-           "backend": jax.default_backend()}
+    out = {"program": prog_name, "backend": jax.default_backend()}
 
     t0 = time.perf_counter()
-    lowered = jfn.lower(st)
+    lowered = jfn.lower(*args)
     out["A_trace_lower_s"] = round(time.perf_counter() - t0, 2)
     live_text = lowered.as_text()
 
@@ -87,12 +96,12 @@ def main() -> int:
     from jax import export as jexport
 
     t0 = time.perf_counter()
-    exported = jexport.export(jfn)(st)
+    exported = jexport.export(jfn)(*args)
     out["C_export_wrap_s"] = round(time.perf_counter() - t0, 2)
     exported_text = exported.mlir_module()
 
     t0 = time.perf_counter()
-    r = exported.call(st)
+    r = exported.call(*args)
     jax.block_until_ready(r)
     out["D_compile_unserialized_export_s"] = round(time.perf_counter() - t0, 2)
     del r
@@ -106,7 +115,7 @@ def main() -> int:
     out["E2_deserialize_s"] = round(time.perf_counter() - t0, 2)
     reloaded_text = reloaded.mlir_module()
     t0 = time.perf_counter()
-    r = reloaded.call(st)
+    r = reloaded.call(*args)
     jax.block_until_ready(r)
     out["E3_compile_deserialized_s"] = round(time.perf_counter() - t0, 2)
 
@@ -132,7 +141,8 @@ def main() -> int:
         "deserialized": len(reloaded_text) // 1024,
     }
 
-    path = os.path.join(os.path.dirname(__file__), "..", "SERVE_DIAG_r04.json")
+    suffix = "_frame" if os.environ.get("SERVE_DIAG_PROGRAM") == "frame_step_native" else ""
+    path = os.path.join(os.path.dirname(__file__), "..", f"SERVE_DIAG{suffix}_r05.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))

@@ -259,6 +259,18 @@ class ServedSfM:
         if "assess_native" in e:
             inner._jit_assess_native = e["assess_native"].call
         self._finalize_call = e["finalize"].call
+        # commit the initial state to the device NOW: exported calls lower
+        # through jit(call_exported), whose cache keys on argument
+        # SHARDINGS — the first frame would otherwise see uncommitted host
+        # arrays (UnspecifiedValue) and the second frame the committed
+        # device outputs (SingleDeviceSharding), compiling the identical
+        # module TWICE (measured: served cold start paid 2 x ~120 s;
+        # root-caused via JAX_LOG_COMPILES, SERVE_DIAG_r05.json)
+        import jax
+
+        # an explicit device COMMITS the arrays; device_put with no device
+        # keeps them uncommitted and the double compile remains
+        inner.state = jax.device_put(inner.state, jax.devices()[0])
         self._inner = inner
 
     # -- feeding / results: delegate to the inner engine -------------------

@@ -117,6 +117,16 @@ CHECKS = [
         ]
         * 1e9,
     ),
+    (
+        "served vs live cold-start ratio",
+        r"served cold\nstart is \*\*([\d.]+)x\*\* the live path",
+        lambda: _latest("SERVE_r0[5-9]*.json")["served_vs_live_cold_ratio"],
+    ),
+    (
+        "compile-cache hit first frame (s)",
+        r"to\n\*\*([\d.]+) s\*\* \(hit\)",
+        lambda: _latest("SERVE_r0[5-9]*.json")["E_cache_hit"]["first_frame_s"],
+    ),
 ]
 
 
