@@ -150,6 +150,13 @@ class FrontendConfig:
     # reorders near-exact ties, which the contrast threshold filters.
     # "f32" restores exact numerics.
     extrema_dtype: str = "bf16"
+    # candidate-response implementation. "auto": the fused Pallas kernel
+    # (ops/features_pallas.py — extrema + contrast + edge + border in ONE
+    # pass) on TPU for octaves with W%128==0 and H%8==0 (the largest
+    # octaves, where the cost lives), XLA elsewhere; "pallas" forces the
+    # kernel (interpret mode off-TPU, for tests); "xla" forces the
+    # separable reduce_window path everywhere.
+    extrema_impl: str = "auto"
     # orientation/descriptor sampling strategy. "rotated" (default): two
     # separate 16x16 sample passes (orientation window + per-orientation
     # rotated descriptor grid). "shared" (cv2-SIFT's structure): ONE

@@ -409,17 +409,43 @@ def _octave_candidates(gauss: Array, cfg: FrontendConfig, per_octave_k: int):
     s_layers = dog.shape[0] - 2
     h, w = dog.shape[1], dog.shape[2]
 
-    extrema = _local_extrema(dog, cfg.extrema_dtype)  # (S, H, W)
-    contrast_ok = jnp.abs(dog[1:-1]) > cfg.contrast_threshold
-    edge_ok = jnp.stack(
-        [_edge_response_ok(dog[1 + s], cfg.edge_threshold) for s in range(s_layers)]
-    )
-    # keep away from borders (descriptor support)
     border = 8
-    bm = jnp.zeros((h, w), dtype=bool).at[border:-border, border:-border].set(True)
-    valid = extrema & contrast_ok & edge_ok & bm[None]
+    use_pallas = (
+        cfg.extrema_impl != "xla"
+        and w % 128 == 0
+        and h % 8 == 0
+        and (cfg.extrema_impl == "pallas" or jax.default_backend() == "tpu")
+    )
+    if use_pallas:
+        # one fused pass: extrema + contrast + edge + border -> masked |dog|
+        from structure_from_motion_tpu.ops.features_pallas import (
+            pallas_candidate_response,
+        )
 
-    resp3 = jnp.where(valid, jnp.abs(dog[1:-1]), 0.0)  # (S, h, w)
+        resp3 = pallas_candidate_response(
+            dog,
+            cfg.contrast_threshold,
+            cfg.edge_threshold,
+            border=border,
+            interpret=jax.default_backend() != "tpu",
+        )
+    else:
+        extrema = _local_extrema(dog, cfg.extrema_dtype)  # (S, H, W)
+        contrast_ok = jnp.abs(dog[1:-1]) > cfg.contrast_threshold
+        edge_ok = jnp.stack(
+            [
+                _edge_response_ok(dog[1 + s], cfg.edge_threshold)
+                for s in range(s_layers)
+            ]
+        )
+        # keep away from borders (descriptor support)
+        bm = (
+            jnp.zeros((h, w), dtype=bool)
+            .at[border:-border, border:-border]
+            .set(True)
+        )
+        valid = extrema & contrast_ok & edge_ok & bm[None]
+        resp3 = jnp.where(valid, jnp.abs(dog[1:-1]), 0.0)  # (S, h, w)
     B = cfg.topk_block
     if B > 1 and h % B == 0 and w % B == 0:
         # block-local max first: the strongest candidate per (layer, BxB

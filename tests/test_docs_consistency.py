@@ -89,7 +89,7 @@ CHECKS = [
     ),
     (
         "500-frame ATE vs cv2 oracle after global BA (% span)",
-        r"1\.14% -> \*\*([\d.]+)% of span\*\* \(`LONGRUN_r\d+\.json`",
+        r"[\d.]+% -> \*\*([\d.]+)% of span\*\* \(`LONGRUN_r\d+\.json`",
         lambda: _latest("LONGRUN_r[0-9]*.json")["global_ba"][
             "ate_after_vs_cv2_oracle_pct_of_span"
         ],

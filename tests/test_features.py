@@ -308,3 +308,40 @@ def test_chunked_sampler_matches_unpaired_reference():
     pyr = mkpyr(g2)
     ref = F._bilinear_sample_flat(g2, pyr.base, s, sx, sy, pyr.h, pyr.w, pyr.hw)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_pallas_candidate_response_matches_xla():
+    """The fused Pallas candidate kernel (extrema + contrast + edge +
+    border in one pass) must reproduce the XLA separable-window path's
+    masked response map exactly in f32, including all border rows/cols and
+    both extremum polarities."""
+    import numpy as np
+
+    from structure_from_motion_tpu.config import FrontendConfig
+    from structure_from_motion_tpu.ops import features as F
+    from structure_from_motion_tpu.ops.features_pallas import (
+        pallas_candidate_response,
+    )
+
+    rng = np.random.default_rng(3)
+    S2, H, W = 5, 64, 128
+    dog = jnp.asarray(rng.normal(size=(S2, H, W)).astype(np.float32) * 0.05)
+    cfg = FrontendConfig(extrema_dtype="f32")
+    border = 8
+
+    ext = F._local_extrema(dog, "f32")
+    cok = jnp.abs(dog[1:-1]) > cfg.contrast_threshold
+    eok = jnp.stack(
+        [
+            F._edge_response_ok(dog[1 + s], cfg.edge_threshold)
+            for s in range(S2 - 2)
+        ]
+    )
+    bm = jnp.zeros((H, W), bool).at[border:-border, border:-border].set(True)
+    ref = jnp.where(ext & cok & eok & bm[None], jnp.abs(dog[1:-1]), 0.0)
+
+    got = pallas_candidate_response(
+        dog, cfg.contrast_threshold, cfg.edge_threshold, border=border,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
