@@ -102,19 +102,39 @@ def main() -> int:
         return sum(jnp.sum(g) for g in octs)
 
     def stage_extrema(im):
+        # mirrors the PRODUCT candidate-response path (fused Pallas kernel
+        # on eligible octaves, XLA fallback elsewhere) so the stage delta
+        # measures what detect_and_describe actually runs
         octs = pyramid(im)
         acc = 0.0
         for g in octs:
             dog = g[1:] - g[:-1]
-            ext = F._local_extrema(dog)
-            cok = jnp.abs(dog[1:-1]) > cfg.contrast_threshold
-            eok = jnp.stack(
-                [
-                    F._edge_response_ok(dog[1 + s], cfg.edge_threshold)
-                    for s in range(dog.shape[0] - 2)
-                ]
-            )
-            acc = acc + jnp.sum(ext & cok & eok)
+            h, w = dog.shape[1], dog.shape[2]
+            if (
+                cfg.extrema_impl != "xla"
+                and w % 128 == 0
+                and h % 8 == 0
+                and (cfg.extrema_impl == "pallas" or jax.default_backend() == "tpu")
+            ):
+                from structure_from_motion_tpu.ops.features_pallas import (
+                    pallas_candidate_response,
+                )
+
+                resp3 = pallas_candidate_response(
+                    dog, cfg.contrast_threshold, cfg.edge_threshold,
+                    interpret=jax.default_backend() != "tpu",
+                )
+                acc = acc + jnp.sum(resp3 > 0)
+            else:
+                ext = F._local_extrema(dog, cfg.extrema_dtype)
+                cok = jnp.abs(dog[1:-1]) > cfg.contrast_threshold
+                eok = jnp.stack(
+                    [
+                        F._edge_response_ok(dog[1 + s], cfg.edge_threshold)
+                        for s in range(dog.shape[0] - 2)
+                    ]
+                )
+                acc = acc + jnp.sum(ext & cok & eok)
         return acc
 
     def candidates(im):

@@ -59,13 +59,36 @@ def _gaussian_kernel1d(sigma: float) -> np.ndarray:
     return (k / np.sum(k)).astype(np.float32)
 
 
+def _pallas_blur_ok(impl: str, shape: tuple, ks: list) -> bool:
+    """Route eligible blurs to the Pallas VPU stencil
+    (ops/blur_pallas.py): exact f32 at streaming bandwidth where the
+    banded MXU matmul pays 3 bf16 passes (~8 ms of the 2x-octave
+    pyramid). ``impl="pallas"`` forces it (interpret off-TPU, for tests);
+    ``"matmul"`` auto-enables on TPU for 128-lane / 16-row multiples with
+    radius <= 16 (the largest octaves — smaller ones keep the matmul)."""
+    if impl not in ("pallas", "matmul"):
+        return False
+    if impl != "pallas" and jax.default_backend() != "tpu":
+        return False
+    h, w = shape
+    radius = max((len(k) - 1) // 2 for k in ks)
+    # largest-octave only (>= 1280x960): each pallas_call is its own
+    # Mosaic module through the remote compile helper, and kernelising
+    # every octave took the fused frame program's compile from ~130 s to
+    # ~365 s for ~1 ms of extra runtime — the first octave is ~75% of the
+    # pyramid's pixels and keeps the compile overhead to one kernel pair
+    big = h * w >= 1280 * 960
+    return (big or impl == "pallas") and w % 128 == 0 and h % 16 == 0 and radius <= 16
+
+
 def _use_mxu_blur(impl: str = "matmul") -> bool:
     # single-input-channel convolutions lower to the VPU on TPU (measured:
     # the whole 4-octave pyramid was 43 ms of a 154 ms detect); banded
     # matmuls ride the MXU instead. On CPU the dense band matrices are
     # pure overhead — keep the conv path there. ``impl`` comes from
     # FrontendConfig.blur_impl ("matmul" | "conv").
-    return impl == "matmul" and jax.default_backend() != "cpu"
+    # "mxu" = banded matmul with the pallas stencil explicitly disabled
+    return impl in ("matmul", "mxu") and jax.default_backend() != "cpu"
 
 
 def _band(k: np.ndarray, n: int) -> jnp.ndarray:
@@ -96,6 +119,12 @@ def _blur(
     HIGHEST is the SIX-pass emulation and costs 13x the wall time for
     1.3e-7, measured at 2560x1920); CPU: two 1-D convs."""
     k = _gaussian_kernel1d(sigma)
+    if _pallas_blur_ok(impl, img.shape, [k]):
+        from structure_from_motion_tpu.ops.blur_pallas import pallas_blur_levels
+
+        return pallas_blur_levels(
+            img, [k], interpret=jax.default_backend() != "tpu"
+        )[0]
     if _use_mxu_blur(impl):
         h, w = img.shape
         Bh = _band(k, w)
@@ -129,6 +158,13 @@ def _blur_levels(
     poorly on TPU (measured: the blur chain was ~60 ms of a 119 ms detect).
     """
     ks = [_gaussian_kernel1d(s) for s in rel_sigmas]
+    if _pallas_blur_ok(impl, base.shape, ks):
+        from structure_from_motion_tpu.ops.blur_pallas import pallas_blur_levels
+
+        out = pallas_blur_levels(
+            base, ks, interpret=jax.default_backend() != "tpu"
+        )
+        return jnp.concatenate([base[None], out], axis=0)
     if _use_mxu_blur(impl):
         h, w = base.shape
         Bh = jnp.stack([_band(k, w) for k in ks])  # (L, W, W)

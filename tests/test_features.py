@@ -345,3 +345,29 @@ def test_pallas_candidate_response_matches_xla():
         interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0)
+
+
+def test_pallas_blur_matches_band_matmul():
+    """The Pallas separable stencil blur must reproduce the zero-padded
+    'SAME' correlation (the band-matmul path's exact semantics) to f32
+    sum-order tolerance, including the borders (zeroed halo blocks)."""
+    import numpy as np
+
+    from structure_from_motion_tpu.ops import features as F
+    from structure_from_motion_tpu.ops.blur_pallas import pallas_blur_levels
+
+    rng = np.random.default_rng(4)
+    H, W = 64, 256
+    img = jnp.asarray(rng.normal(size=(H, W)).astype(np.float32))
+    ks = [F._gaussian_kernel1d(s) for s in (1.2, 2.5, 4.8)]
+    got = pallas_blur_levels(img, ks, interpret=True)
+    for k, g in zip(ks, got):
+        r = (len(k) - 1) // 2
+        kj = jnp.asarray(k)
+        ref_h = jax.lax.conv_general_dilated(
+            img[None, None], kj.reshape(1, 1, 1, -1), (1, 1), [(0, 0), (r, r)]
+        )
+        ref = jax.lax.conv_general_dilated(
+            ref_h, kj.reshape(1, 1, -1, 1), (1, 1), [(r, r), (0, 0)]
+        )[0, 0]
+        np.testing.assert_allclose(np.asarray(g), np.asarray(ref), atol=2e-5)
