@@ -25,11 +25,11 @@ Prints ONE JSON line:
   `python3 ba_processor.py`, measured 2026-08-16: see REFERENCE_SECONDS).
 
 Runs on whatever device jax picks (the real TPU under the axon tunnel;
-CPU elsewhere). Budget: ~14 minutes on the tunnelled chip (measured
-765.9 s cold at round 5 HEAD; two pipeline configs x 4 seeds + the
-batched engines pay one compile each — the compiles, not the
-measurements, are the bulk of the wall time, and the persistent compile
-cache amortises re-runs).
+CPU elsewhere). Budget: ~16 minutes cold on the tunnelled chip
+(measured 916 s at round 5 HEAD with the Pallas detect kernels; two
+pipeline configs x 4 seeds + the batched engines pay one compile each —
+the compiles, not the measurements, are the bulk of the wall time, and
+the persistent compile cache takes re-runs to ~12-13 minutes).
 """
 
 from __future__ import annotations

@@ -54,12 +54,12 @@ CHECKS = [
     ),
     (
         "accuracy-config reprojection median (px)",
-        r"\*\*median ([\d.]+) px\*\* \(seeds [\d./]+, `BENCH_r\d+\.json:reprojection_px_1024kp_upsampled_seeds`\)",
+        r"\*\*median ([\d.]+) px\*\* \(`BENCH_r\d+\.json:reprojection_px_1024kp_upsampled_seeds`",
         lambda: _latest("BENCH_r[0-9]*.json")["reprojection_px_1024kp_upsampled"],
     ),
     (
         "throughput-config reprojection median (px)",
-        r"median ([\d.]+) px \([\d.]+-[\d.]+, `BENCH_r\d+\.json:reprojection_px_1024kp_seeds`\)",
+        r"median ([\d.]+) px \(`BENCH_r\d+\.json:reprojection_px_1024kp_seeds`",
         lambda: _latest("BENCH_r[0-9]*.json")["reprojection_px_1024kp"],
     ),
     (
